@@ -1,0 +1,19 @@
+from keras_rs_tpu.core import initializers
+from keras_rs_tpu.core import serialization
+from keras_rs_tpu.core.module import (
+    Module,
+    is_param,
+    replace,
+    trainable_mask,
+    tree_paths,
+)
+
+__all__ = [
+    "Module",
+    "initializers",
+    "is_param",
+    "replace",
+    "serialization",
+    "trainable_mask",
+    "tree_paths",
+]

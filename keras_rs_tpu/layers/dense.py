@@ -1,0 +1,88 @@
+"""Dense / MLP building blocks.
+
+The reference leans on `keras.layers.Dense`; these are the pytree-native
+equivalents with explicit input dims (no lazy build — shapes are static by
+construction, which is what XLA wants).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from keras_rs_tpu.core import initializers
+from keras_rs_tpu.core.module import Module
+from keras_rs_tpu.types import Tensor
+
+
+class Dense(Module):
+    """y = activation(x @ W + b)."""
+
+    def __init__(
+        self,
+        in_features: int,
+        out_features: int,
+        *,
+        key: jax.Array,
+        use_bias: bool = True,
+        activation: Callable[[Tensor], Tensor] | None = None,
+        kernel_initializer: Any = "glorot_uniform",
+        bias_initializer: Any = "zeros",
+        dtype: Any = jnp.float32,
+        name: str | None = None,
+    ) -> None:
+        k_kernel, k_bias = jax.random.split(key)
+        self.kernel = initializers.get(kernel_initializer)(
+            k_kernel, (in_features, out_features), dtype
+        )
+        self.bias = (
+            initializers.get(bias_initializer)(
+                k_bias, (out_features,), dtype
+            )
+            if use_bias
+            else None
+        )
+        self.activation = activation
+        self.name = name or "dense"
+
+    def __call__(self, x: Tensor) -> Tensor:
+        y = jnp.matmul(x, self.kernel, preferred_element_type=x.dtype)
+        if self.bias is not None:
+            y = y + self.bias
+        if self.activation is not None:
+            y = self.activation(y)
+        return y
+
+
+class MLP(Module):
+    """Stack of Dense layers, e.g. DLRM bottom/top towers."""
+
+    def __init__(
+        self,
+        in_features: int,
+        units: Sequence[int],
+        *,
+        key: jax.Array,
+        activation: Callable[[Tensor], Tensor] = jax.nn.relu,
+        final_activation: Callable[[Tensor], Tensor] | None = None,
+        dtype: Any = jnp.float32,
+        name: str | None = None,
+    ) -> None:
+        keys = jax.random.split(key, len(units))
+        layers = []
+        prev = in_features
+        for i, (u, k) in enumerate(zip(units, keys)):
+            act = activation if i < len(units) - 1 else final_activation
+            layers.append(
+                Dense(prev, u, key=k, activation=act, dtype=dtype)
+            )
+            prev = u
+        self.layers = layers
+        self.name = name or "mlp"
+
+    def __call__(self, x: Tensor) -> Tensor:
+        for layer in self.layers:
+            x = layer(x)
+        return x

@@ -1,0 +1,115 @@
+"""EmbedReduce: embedding lookup followed by a weighted combiner reduce.
+
+TPU-native reimplementation of keras_rs/src/layers/embedding/
+embed_reduce.py:91-274. Ragged/sparse inputs are standardized to the
+TPU-friendly padded-dense-plus-weights form: a (B, L) int id matrix plus a
+(B, L) float weight matrix whose zeros mark padding. XLA lowers the lookup
+to a gather and the combine to a fused multiply/segment reduction.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from keras_rs_tpu.core import initializers
+from keras_rs_tpu.core.module import Module
+from keras_rs_tpu.core.serialization import export
+from keras_rs_tpu.ops.ranking import divide_no_nan
+from keras_rs_tpu.types import Tensor
+
+SUPPORTED_COMBINERS = ("mean", "sum", "sqrtn")
+
+
+@export("keras_rs_tpu.layers.EmbedReduce")
+class EmbedReduce(Module):
+    """Embeds 1-D or 2-D integer inputs; reduces the list axis if present.
+
+    Combiner semantics (parity with the reference):
+      * 1-D inputs: no reduction; "sum" still scales by weights, while
+        "mean"/"sqrtn" ignore weights entirely.
+      * 2-D inputs: weighted sum over axis -2, divided by sum(weights) for
+        "mean" or sqrt(sum(weights^2)) for "sqrtn".
+    """
+
+    def __init__(
+        self,
+        input_dim: int,
+        output_dim: int,
+        *,
+        key: jax.Array | None = None,
+        embeddings_initializer: Any = "random_uniform",
+        combiner: str = "mean",
+        table: Tensor | None = None,
+        dtype: Any = jnp.float32,
+        name: str | None = None,
+    ) -> None:
+        if combiner not in SUPPORTED_COMBINERS:
+            raise ValueError(
+                f"Invalid `combiner`: '{combiner}', use one of "
+                f"{', '.join(SUPPORTED_COMBINERS)}."
+            )
+        if table is not None:
+            if tuple(table.shape) != (input_dim, output_dim):
+                raise ValueError(
+                    f"`table` shape {table.shape} does not match "
+                    f"({input_dim}, {output_dim})."
+                )
+            self.embeddings = jnp.asarray(table, dtype)
+        else:
+            if key is None:
+                raise ValueError("Provide `key` to initialize embeddings.")
+            self.embeddings = initializers.get(embeddings_initializer)(
+                key, (input_dim, output_dim), dtype
+            )
+        self.input_dim = input_dim
+        self.output_dim = output_dim
+        self.combiner = combiner
+        self.name = name or "embed_reduce"
+
+    def __call__(
+        self, inputs: Tensor, weights: Tensor | None = None
+    ) -> Tensor:
+        inputs = jnp.asarray(inputs)
+        if inputs.ndim not in (1, 2):
+            raise ValueError(
+                f"`inputs` must be 1-D or 2-D, got rank {inputs.ndim}."
+            )
+        x = jnp.take(self.embeddings, inputs, axis=0)
+
+        if inputs.ndim == 1:
+            # No reduction; "sum" scales by weights, others ignore them.
+            if weights is not None and self.combiner == "sum":
+                weights = jnp.asarray(weights, x.dtype)
+                x = x * weights[:, None]
+            return x
+
+        if weights is None:
+            weights = jnp.ones(inputs.shape, x.dtype)
+        else:
+            weights = jnp.asarray(weights, x.dtype)
+            if weights.shape != inputs.shape:
+                raise ValueError(
+                    f"`weights` shape {weights.shape} must match `inputs` "
+                    f"shape {inputs.shape}."
+                )
+
+        x = x * weights[..., None]
+        x = jnp.sum(x, axis=-2)
+        if self.combiner == "mean":
+            return divide_no_nan(x, jnp.sum(weights, axis=-1)[..., None])
+        if self.combiner == "sqrtn":
+            return divide_no_nan(
+                x, jnp.sqrt(jnp.sum(jnp.square(weights), axis=-1))[..., None]
+            )
+        return x
+
+    def get_config(self) -> dict[str, Any]:
+        return {
+            "input_dim": self.input_dim,
+            "output_dim": self.output_dim,
+            "combiner": self.combiner,
+            "name": self.name,
+        }

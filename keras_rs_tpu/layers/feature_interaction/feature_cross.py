@@ -1,0 +1,91 @@
+"""DCNv2 FeatureCross layer.
+
+TPU-native reimplementation of keras_rs/src/layers/feature_interaction/
+feature_cross.py:12-194:
+    x_{i+1} = x0 .* (pre_act(W x + b) + diag_scale * x) + x
+with optional low-rank factorization W = U @ V via `projection_dim`.
+The two matmuls land on the MXU; everything else fuses on the VPU.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from keras_rs_tpu.core import initializers
+from keras_rs_tpu.core.module import Module
+from keras_rs_tpu.core.serialization import export
+from keras_rs_tpu.types import Tensor
+
+
+@export("keras_rs_tpu.layers.FeatureCross")
+class FeatureCross(Module):
+    def __init__(
+        self,
+        dim: int,
+        *,
+        key: jax.Array,
+        projection_dim: int | None = None,
+        diag_scale: float | None = 0.0,
+        use_bias: bool = True,
+        pre_activation: Callable[[Tensor], Tensor] | None = None,
+        kernel_initializer: Any = "glorot_uniform",
+        bias_initializer: Any = "zeros",
+        dtype: Any = jnp.float32,
+        name: str | None = None,
+    ) -> None:
+        if diag_scale is not None and diag_scale < 0.0:
+            raise ValueError(
+                "`diag_scale` should be non-negative. Received: "
+                f"`diag_scale={diag_scale}`"
+            )
+        k_down, k_main, k_bias = jax.random.split(key, 3)
+        kinit = initializers.get(kernel_initializer)
+        if projection_dim is not None:
+            self.down_proj_kernel = kinit(k_down, (dim, projection_dim), dtype)
+            self.kernel = kinit(k_main, (projection_dim, dim), dtype)
+        else:
+            self.down_proj_kernel = None
+            self.kernel = kinit(k_main, (dim, dim), dtype)
+        self.bias = (
+            initializers.get(bias_initializer)(k_bias, (dim,), dtype)
+            if use_bias
+            else None
+        )
+        self.dim = dim
+        self.projection_dim = projection_dim
+        self.diag_scale = diag_scale
+        self.pre_activation = pre_activation
+        self.name = name or "feature_cross"
+
+    def __call__(self, x0: Tensor, x: Tensor | None = None) -> Tensor:
+        if x is None:
+            x = x0
+        if x0.shape != x.shape:
+            raise ValueError(
+                "`x0` and `x` should have the same shape. Received: "
+                f"`x.shape` = {x.shape}, `x0.shape` = {x0.shape}"
+            )
+        out = x
+        if self.down_proj_kernel is not None:
+            out = jnp.matmul(
+                out, self.down_proj_kernel, preferred_element_type=out.dtype
+            )
+        out = jnp.matmul(out, self.kernel, preferred_element_type=out.dtype)
+        if self.bias is not None:
+            out = out + self.bias
+        if self.pre_activation is not None:
+            out = self.pre_activation(out)
+        if self.diag_scale:
+            out = out + self.diag_scale * x
+        return x0 * out + x
+
+    def get_config(self) -> dict[str, Any]:
+        return {
+            "dim": self.dim,
+            "projection_dim": self.projection_dim,
+            "diag_scale": self.diag_scale,
+            "name": self.name,
+        }

@@ -1,0 +1,20 @@
+from keras_rs_tpu.metrics.ranking_metric import MeanState, RankingMetric
+from keras_rs_tpu.metrics.ranking_metrics import (
+    DCG,
+    NDCG,
+    MeanAveragePrecision,
+    MeanReciprocalRank,
+    PrecisionAtK,
+    RecallAtK,
+)
+
+__all__ = [
+    "DCG",
+    "NDCG",
+    "MeanAveragePrecision",
+    "MeanReciprocalRank",
+    "MeanState",
+    "PrecisionAtK",
+    "RankingMetric",
+    "RecallAtK",
+]
