@@ -1,0 +1,32 @@
+from keras_rs_tpu.layers.dense import MLP, Dense
+from keras_rs_tpu.layers.embedding.embed_reduce import EmbedReduce
+from keras_rs_tpu.layers.feature_interaction.dot_interaction import (
+    DotInteraction,
+)
+from keras_rs_tpu.layers.feature_interaction.feature_cross import FeatureCross
+from keras_rs_tpu.layers.retrieval.hard_negative_mining import (
+    HardNegativeMining,
+)
+from keras_rs_tpu.layers.retrieval.remove_accidental_hits import (
+    RemoveAccidentalHits,
+)
+from keras_rs_tpu.layers.retrieval.retrieval import (
+    BruteForceRetrieval,
+    Retrieval,
+)
+from keras_rs_tpu.layers.retrieval.sampling_probability_correction import (
+    SamplingProbabilityCorrection,
+)
+
+__all__ = [
+    "BruteForceRetrieval",
+    "Dense",
+    "DotInteraction",
+    "EmbedReduce",
+    "FeatureCross",
+    "HardNegativeMining",
+    "MLP",
+    "RemoveAccidentalHits",
+    "Retrieval",
+    "SamplingProbabilityCorrection",
+]
