@@ -105,9 +105,17 @@ class Module:
     def _tree_split(self):
         dynamic: list[tuple[str, Any]] = []
         static: list[tuple[str, Any]] = []
+        # Instances produced by unflatten remember which keys were dynamic,
+        # so tree_map results whose leaves are non-arrays (bool masks, None
+        # grads, ...) keep the same treedef instead of reclassifying.
+        fixed_keys = self.__dict__.get("_treedef_keys")
         for name in sorted(vars(self)):
+            if name == "_treedef_keys":
+                continue
             value = vars(self)[name]
-            if _is_dynamic(value):
+            if (
+                fixed_keys is not None and name in fixed_keys
+            ) or (fixed_keys is None and _is_dynamic(value)):
                 dynamic.append((name, value))
             else:
                 static.append((name, _hashable(value)))
@@ -135,7 +143,14 @@ class Module:
             object.__setattr__(obj, name, value)
         for name, value in static:
             object.__setattr__(obj, name, _unhashable(value))
+        object.__setattr__(obj, "_treedef_keys", frozenset(keys))
         return obj
+
+    def __setattr__(self, name: str, value: Any) -> None:
+        # Direct mutation (e.g. update_candidates) may change which attrs
+        # are dynamic; drop any fixed treedef so the split is recomputed.
+        self.__dict__.pop("_treedef_keys", None)
+        object.__setattr__(self, name, value)
 
     # -- conveniences --------------------------------------------------------
     def __call__(self, *args: Any, **kwargs: Any) -> Any:

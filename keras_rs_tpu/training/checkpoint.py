@@ -1,0 +1,80 @@
+"""Sharded, async checkpointing via Orbax.
+
+The reference delegates checkpointing to Keras saving (SURVEY.md §5);
+the TPU-native equivalent is Orbax: sharded array checkpoints that
+save/restore directly to/from each device's shard (no host gather), async
+by default, with step-based rotation.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def save_checkpoint(path: str, state: Any, *, force: bool = True) -> None:
+    """Blocking save of an arbitrary pytree (TrainState, model, ...)."""
+    ckpt = ocp.StandardCheckpointer()
+    ckpt.save(path, state, force=force)
+    ckpt.wait_until_finished()
+
+
+def restore_checkpoint(path: str, template: Any) -> Any:
+    """Restores into the structure/shardings of `template`.
+
+    `template` can be a concrete pytree (its arrays define shape, dtype and
+    sharding) or a pytree of jax.ShapeDtypeStruct.
+    """
+    ckpt = ocp.StandardCheckpointer()
+    abstract = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(
+            x.shape, x.dtype, sharding=getattr(x, "sharding", None)
+        )
+        if hasattr(x, "shape")
+        else x,
+        template,
+    )
+    return ckpt.restore(path, abstract)
+
+
+class CheckpointManager:
+    """Step-rotating async checkpoint manager."""
+
+    def __init__(self, directory: str, *, max_to_keep: int = 3):
+        self._mgr = ocp.CheckpointManager(
+            directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, enable_async_checkpointing=True
+            ),
+        )
+
+    def save(self, step: int, state: Any) -> None:
+        self._mgr.save(step, args=ocp.args.StandardSave(state))
+
+    def restore(self, step: int | None, template: Any) -> Any:
+        if step is None:
+            step = self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError("No checkpoint found.")
+        abstract = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(
+                x.shape, x.dtype, sharding=getattr(x, "sharding", None)
+            )
+            if hasattr(x, "shape")
+            else x,
+            template,
+        )
+        return self._mgr.restore(
+            step, args=ocp.args.StandardRestore(abstract)
+        )
+
+    def latest_step(self) -> int | None:
+        return self._mgr.latest_step()
+
+    def wait_until_finished(self) -> None:
+        self._mgr.wait_until_finished()
+
+    def close(self) -> None:
+        self._mgr.close()

@@ -1,0 +1,145 @@
+"""Host-side training loop.
+
+Replaces Keras' `model.fit` with an explicit loop around a jitted train
+step: metrics are functional MeanStates updated on device, logging is
+host-side, and profiling is first-class (`profile_dir=` captures a trace of
+a few steps, parity with the ml_perf example's jax.profiler usage,
+examples/ml_perf/main.py:330-356).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any, Callable, Iterable, Mapping
+
+import jax
+import numpy as np
+import optax
+
+from keras_rs_tpu.metrics.ranking_metric import RankingMetric
+from keras_rs_tpu.training.train_state import (
+    TrainState,
+    create_train_state,
+    make_train_step,
+)
+
+logger = logging.getLogger("keras_rs_tpu")
+
+
+class Trainer:
+    """Minimal, explicit trainer.
+
+    Args:
+        model: a pytree Module.
+        optimizer: an optax GradientTransformation (applied to trainable
+            leaves; Overwrite-wrapped leaves are assigned from cotangents).
+        loss_fn: callable (model, batch) -> scalar loss or (loss, aux).
+        has_aux: whether loss_fn returns (loss, aux).
+    """
+
+    def __init__(
+        self,
+        model: Any,
+        optimizer: optax.GradientTransformation,
+        loss_fn: Callable[..., Any],
+        *,
+        has_aux: bool = False,
+    ) -> None:
+        self.optimizer = optimizer
+        self.loss_fn = loss_fn
+        self.has_aux = has_aux
+        self.state = create_train_state(model, optimizer)
+        self._step_fn = make_train_step(
+            loss_fn, optimizer, has_aux=has_aux
+        )
+
+    @property
+    def model(self) -> Any:
+        return self.state.model
+
+    def fit(
+        self,
+        data: Iterable[Any],
+        *,
+        epochs: int = 1,
+        steps_per_epoch: int | None = None,
+        log_every: int = 100,
+        profile_dir: str | None = None,
+        profile_steps: tuple[int, int] = (10, 20),
+    ) -> dict[str, list[float]]:
+        history: dict[str, list[float]] = {"loss": []}
+        global_step = 0
+        for epoch in range(epochs):
+            epoch_data = data() if callable(data) else data
+            losses = []
+            t0 = time.time()
+            for i, batch in enumerate(epoch_data):
+                if steps_per_epoch is not None and i >= steps_per_epoch:
+                    break
+                if profile_dir and global_step == profile_steps[0]:
+                    jax.profiler.start_trace(profile_dir)
+                self.state, out = self._step_fn(self.state, batch)
+                if profile_dir and global_step == profile_steps[1]:
+                    jax.block_until_ready(out)
+                    jax.profiler.stop_trace()
+                loss = out[0] if self.has_aux else out
+                losses.append(loss)
+                global_step += 1
+                if log_every and (i + 1) % log_every == 0:
+                    logger.info(
+                        "epoch %d step %d loss %.5f",
+                        epoch,
+                        i + 1,
+                        float(losses[-1]),
+                    )
+            if not losses:
+                raise ValueError(
+                    "Dataset yielded no batches. For multi-epoch training "
+                    "pass a callable returning a fresh iterator per epoch."
+                )
+            epoch_loss = float(np.mean([float(l) for l in losses]))
+            history["loss"].append(epoch_loss)
+            logger.info(
+                "epoch %d done in %.1fs loss %.5f",
+                epoch,
+                time.time() - t0,
+                epoch_loss,
+            )
+        return history
+
+    def evaluate(
+        self,
+        data: Iterable[Any],
+        metric_fns: Mapping[str, RankingMetric] | None = None,
+        eval_fn: Callable[[Any, Any], tuple[Any, Any]] | None = None,
+    ) -> dict[str, float]:
+        """Evaluates ranking metrics over a dataset.
+
+        `eval_fn(model, batch) -> (y_true, y_pred)` adapts a batch into
+        metric inputs; defaults to treating the batch as (x, y) with
+        model(x) as predictions.
+        """
+        metric_fns = metric_fns or {}
+        if eval_fn is None:
+            eval_fn = lambda model, batch: (batch[1], model(batch[0]))
+
+        @jax.jit
+        def update_all(model, states, batch):
+            y_true, y_pred = eval_fn(model, batch)
+            return {
+                name: metric_fns[name].update(states[name], y_true, y_pred)
+                for name in metric_fns
+            }
+
+        states = {name: m.init_state() for name, m in metric_fns.items()}
+        n, loss_sum = 0, 0.0
+        for batch in data:
+            states = update_all(self.state.model, states, batch)
+            n += 1
+        results = {
+            name: float(m.result_from_state(states[name]))
+            for name, m in metric_fns.items()
+        }
+        del n, loss_sum
+        return results
