@@ -1,0 +1,243 @@
+"""Sharded embedding lookup: all-to-all exchange + fused optimizer update.
+
+TPU-native rebuild of the two native kernels the reference delegates to
+jax-tpu-embedding (SURVEY.md §2.10 items 1-2):
+
+  forward  (parity: `tpu_sparse_dense_matmul`, called at
+            keras_rs/src/layers/embedding/jax/embedding_lookup.py:137):
+    all_to_all the pre-bucketed COO ids over ICI -> each shard gathers its
+    local rows -> weighted segment-sum partials per (source device,
+    segment) -> all_to_all partials back -> sum over shards -> combiner
+    divisor. Comm volume: ids (small) + one [B_global, dim] activation
+    exchange, identical to the SparseCore dataflow.
+
+  backward (parity: `tpu_sparse_dense_matmul_grad`,
+            embedding_lookup.py:225): all_gather the segment cotangents ->
+    per-entry grads -> segment-sum into deduped unique rows -> gather rows
+    + optimizer slots -> fused SGD/Adagrad/Adam/FTRL row update -> scatter
+    back. The custom_vjp returns the UPDATED table/slots as the cotangent
+    and step+1 as the step's cotangent (the reference's
+    `overwrite_with_gradient` contract, jax/distributed_embedding.py:313,
+    518-536), which `keras_rs_tpu.training.Overwrite` assigns.
+
+No dense [vocab, dim] gradient is ever materialized: update cost is
+O(unique_ids * dim).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from keras_rs_tpu.layers.embedding.stacking import TableStack
+
+
+def init_stack_state(
+    stack: TableStack, table: jax.Array
+) -> dict[str, Any]:
+    """Bundles a stacked table with its optimizer slots and step counter."""
+    slots = {
+        name: stack.optimizer.init_slot(name, table.shape, table.dtype)
+        for name in stack.optimizer.slot_names
+    }
+    return {
+        "table": table,
+        "slots": slots,
+        "step": jnp.zeros((), jnp.float32),
+    }
+
+
+def _shard_map(f, mesh, in_specs, out_specs):
+    return jax.shard_map(
+        f, mesh=mesh, in_specs=in_specs, out_specs=out_specs
+    )
+
+
+def stack_lookup(
+    stack: TableStack,
+    mesh: Mesh,
+    axis: str,
+    state: Mapping[str, Any],
+    coo: Mapping[str, jax.Array],
+) -> jax.Array:
+    """Differentiable lookup for one stack.
+
+    Returns activations [D * S_l, dim] (device-major segment layout),
+    sample-sharded over `axis`. Gradient side effect: the cotangent of
+    `state` is the post-update state (Overwrite contract).
+    """
+    D = stack.num_shards
+    C = stack.max_ids_per_partition
+    U = stack.max_unique_ids_per_shard
+    S_l = stack.num_features * (stack.batch_size // D)
+    dim = stack.stack_dim
+    optimizer = stack.optimizer
+
+    send_slots = coo["send_slots"]  # [D, D, C] int32, P(axis)
+    send_segs = coo["send_segs"]
+    send_gains = coo["send_gains"]
+    unique_slots = coo["unique_slots"]  # [D, U] int32, P(axis)
+    entry_unique = coo["entry_unique"]  # [D, D*C] int32, P(axis)
+    divisors = coo["divisors"]  # [D, S_l] f32, P(axis)
+
+    def fwd_shard(table, s_slots, s_segs, s_gains, divs):
+        # Local blocks: table [rows_per_shard, dim]; s_* [1, D, C];
+        # divs [1, S_l].
+        s_slots, s_segs, s_gains = (
+            s_slots[0], s_segs[0], s_gains[0]
+        )
+        recv_slots = jax.lax.all_to_all(s_slots, axis, 0, 0, tiled=True)
+        recv_segs = jax.lax.all_to_all(s_segs, axis, 0, 0, tiled=True)
+        recv_gains = jax.lax.all_to_all(s_gains, axis, 0, 0, tiled=True)
+
+        rows = jnp.take(table, recv_slots.reshape(-1), axis=0)
+        contrib = rows * recv_gains.reshape(-1, 1)
+        src_offsets = (
+            jnp.arange(D, dtype=jnp.int32)[:, None] * S_l + recv_segs
+        )
+        partial = jax.ops.segment_sum(
+            contrib, src_offsets.reshape(-1), num_segments=D * S_l
+        )  # [D * S_l, dim]
+        back = jax.lax.all_to_all(
+            partial.reshape(D, S_l, dim), axis, 0, 0, tiled=True
+        )  # [D(shard), S_l, dim], now on the segment-owner device
+        acts = jnp.sum(back, axis=0) / divs[0][:, None]
+        return (
+            acts[None],  # [1, S_l, dim]
+            recv_slots[None],
+            recv_segs[None],
+            recv_gains[None],
+        )
+
+    fwd_mapped = _shard_map(
+        fwd_shard,
+        mesh,
+        in_specs=(P(axis, None), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis), P(axis)),
+    )
+
+    def bwd_shard(table, slots, step, recv_slots, recv_segs, recv_gains,
+                  u_slots, e_unique, divs, d_acts):
+        recv_slots, recv_segs, recv_gains = (
+            recv_slots[0], recv_segs[0], recv_gains[0]
+        )
+        u_slots, e_unique, divs, d_acts = (
+            u_slots[0], e_unique[0], divs[0], d_acts[0]
+        )
+        g_seg = d_acts / divs[:, None]  # [S_l, dim]
+        g_all = jax.lax.all_gather(g_seg, axis)  # [D, S_l, dim]
+        flat_idx = (
+            jnp.arange(D, dtype=jnp.int32)[:, None] * S_l + recv_segs
+        ).reshape(-1)
+        ge = jnp.take(
+            g_all.reshape(D * S_l, dim), flat_idx, axis=0
+        ) * recv_gains.reshape(-1, 1)
+        row_grads = jax.ops.segment_sum(
+            ge, e_unique, num_segments=U
+        )  # [U, dim]
+
+        rows = jnp.take(table, u_slots, axis=0)
+        slot_rows = {
+            k: jnp.take(v, u_slots, axis=0) for k, v in slots.items()
+        }
+        new_rows, new_slot_rows = optimizer.apply(
+            rows, row_grads, slot_rows, step
+        )
+        new_table = table.at[u_slots].set(new_rows)
+        new_slots = {
+            k: slots[k].at[u_slots].set(new_slot_rows[k])
+            for k in slots
+        }
+        return new_table, new_slots
+
+    bwd_mapped = _shard_map(
+        bwd_shard,
+        mesh,
+        in_specs=(
+            P(axis, None),  # table
+            P(axis, None),  # slots (dict of arrays)
+            P(),  # step (replicated)
+            P(axis), P(axis), P(axis),  # recv residuals
+            P(axis), P(axis), P(axis),  # unique, entry_unique, divisors
+            P(axis),  # d_acts
+        ),
+        out_specs=(P(axis, None), P(axis, None)),
+    )
+
+    @jax.custom_vjp
+    def lookup(ts):
+        acts, _, _, _ = fwd_mapped(
+            ts["table"], send_slots, send_segs, send_gains, divisors
+        )
+        return acts.reshape(D * S_l, dim)
+
+    def lookup_fwd(ts):
+        acts, r_slots, r_segs, r_gains = fwd_mapped(
+            ts["table"], send_slots, send_segs, send_gains, divisors
+        )
+        return acts.reshape(D * S_l, dim), (ts, r_slots, r_segs, r_gains)
+
+    def lookup_bwd(res, d_acts):
+        ts, r_slots, r_segs, r_gains = res
+        new_table, new_slots = bwd_mapped(
+            ts["table"],
+            ts["slots"],
+            ts["step"],
+            r_slots,
+            r_segs,
+            r_gains,
+            unique_slots,
+            entry_unique,
+            divisors,
+            d_acts.reshape(D, S_l, dim),
+        )
+        new_ts = {
+            "table": new_table,
+            "slots": new_slots,
+            "step": ts["step"] + 1.0,
+        }
+        return (new_ts,)
+
+    lookup.defvjp(lookup_fwd, lookup_bwd)
+    return lookup(dict(state))
+
+
+def split_activations(
+    stack: TableStack, acts: jax.Array
+) -> dict[str, jax.Array]:
+    """Device-major segment activations -> per-feature [B, dim_f] arrays."""
+    D = stack.num_shards
+    F = stack.num_features
+    Bl = stack.batch_size // D
+    a = acts.reshape(D, F, Bl, stack.stack_dim)
+    a = a.transpose(1, 0, 2, 3).reshape(
+        F, stack.batch_size, stack.stack_dim
+    )
+    return {
+        f.name: a[f.feature_index, :, : f.embedding_dim]
+        for f in stack.features
+    }
+
+
+def combine_cotangents(
+    stack: TableStack, d_feats: Mapping[str, jax.Array]
+) -> jax.Array:
+    """Inverse of split_activations for hand-written backward paths."""
+    D = stack.num_shards
+    F = stack.num_features
+    Bl = stack.batch_size // D
+    parts = []
+    for f in stack.features:
+        g = d_feats[f.name]
+        if f.embedding_dim < stack.stack_dim:
+            g = jnp.pad(
+                g, ((0, 0), (0, stack.stack_dim - f.embedding_dim))
+            )
+        parts.append(g)
+    a = jnp.stack(parts, axis=0).reshape(F, D, Bl, stack.stack_dim)
+    return a.transpose(1, 0, 2, 3).reshape(D * F * Bl, stack.stack_dim)
+
+

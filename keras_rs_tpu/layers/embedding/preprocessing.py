@@ -1,0 +1,208 @@
+"""Host-side COO preprocessing for the sharded embedding lookup.
+
+Rebuild of the preprocessing the reference delegates to jax-tpu-embedding's
+native `preprocess_sparse_dense_matmul_input`
+(keras_rs/src/layers/embedding/jax/embedding_utils.py:144-217): translate
+per-feature id matrices into per-(source device, destination shard) COO
+buckets with static capacities, plus the dedup structures the backward
+pass needs and the input stats used for capacity auto-growth
+(`update_stats` parity, jax/distributed_embedding.py:658-719).
+
+Everything here is vectorized numpy (no Python loops over ids); a C++
+version is a planned drop-in replacement for multi-GB/s host throughput.
+
+Layout produced for a stack with D shards, bucket capacity C, unique
+capacity U, F features and local batch Bl (S_l = F * Bl local segments):
+
+  send_slots  [D, D, C] i32   entry local row slot, bucketed (src, dst)
+  send_segs   [D, D, C] i32   entry local segment id (feature-major)
+  send_gains  [D, D, C] f32   entry weight (0 marks padding)
+  unique_slots[D, U]    i32   per-shard deduped slots (padded with sink)
+  entry_unique[D, D*C]  i32   received-entry -> unique-slot index
+  divisors    [D, S_l]  f32   per-segment combiner divisor
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Mapping, Sequence
+
+import numpy as np
+
+from keras_rs_tpu.layers.embedding.stacking import TableStack
+
+
+@dataclasses.dataclass
+class CooBatch:
+    """Device-ready preprocessed inputs for one stack."""
+
+    send_slots: np.ndarray
+    send_segs: np.ndarray
+    send_gains: np.ndarray
+    unique_slots: np.ndarray
+    entry_unique: np.ndarray
+    divisors: np.ndarray
+
+    def arrays(self) -> dict[str, np.ndarray]:
+        return dataclasses.asdict(self)
+
+
+@dataclasses.dataclass
+class InputStats:
+    """Observed stats for capacity validation / auto-growth."""
+
+    max_ids_per_bucket: int
+    max_unique_per_shard: int
+    dropped_ids: int
+
+
+def preprocess_stack(
+    stack: TableStack,
+    inputs: Mapping[str, np.ndarray | Sequence],
+    weights: Mapping[str, np.ndarray] | None = None,
+    *,
+    allow_drop: bool = True,
+) -> tuple[CooBatch, InputStats]:
+    """Builds the CooBatch for one stack from per-feature id matrices.
+
+    `inputs[feature_name]`: int array (B,) or (B, L); ids outside
+    [0, vocab) are ignored. `weights[feature_name]`: float array of the
+    same shape; zeros mark padding. Ragged data is represented as padded
+    ids + 0/1 weights (SURVEY.md §7 hard part (e)).
+    """
+    D = stack.num_shards
+    C = stack.max_ids_per_partition
+    U = stack.max_unique_ids_per_shard
+    F = stack.num_features
+    B = stack.batch_size
+    Bl = B // D
+    S_l = F * Bl
+    sink = stack.sink_slot
+
+    # --- flatten all features into one entry list -------------------------
+    all_d = []  # source device
+    all_s = []  # destination shard
+    all_slot = []  # local row slot on destination
+    all_seg = []  # local segment id on source
+    all_gain = []
+    divisors = np.ones((D, S_l), np.float32)
+
+    for fspec in stack.features:
+        ids = np.asarray(inputs[fspec.name])
+        if ids.ndim == 1:
+            ids = ids[:, None]
+        if ids.shape[0] != B:
+            raise ValueError(
+                f"Feature {fspec.name}: expected global batch {B}, got "
+                f"{ids.shape[0]}."
+            )
+        w = None if weights is None else weights.get(fspec.name)
+        if w is None:
+            w = np.ones(ids.shape, np.float32)
+        else:
+            w = np.asarray(w, np.float32)
+            if w.ndim == 1:
+                w = w[:, None]
+            if w.shape != ids.shape:
+                raise ValueError(
+                    f"Feature {fspec.name}: weights shape {w.shape} != ids "
+                    f"shape {ids.shape}."
+                )
+
+        tspec = stack.table_spec(fspec.table_name)
+        b = np.repeat(np.arange(B, dtype=np.int64), ids.shape[1])
+        r = ids.reshape(-1).astype(np.int64)
+        g = w.reshape(-1)
+        keep = (g != 0) & (r >= 0) & (r < tspec.vocabulary_size)
+        b, r, g = b[keep], r[keep], g[keep]
+
+        d = b // Bl
+        seg = fspec.feature_index * Bl + (b % Bl)
+        all_d.append(d)
+        all_s.append(r % D)
+        all_slot.append(tspec.local_offset + r // D)
+        all_seg.append(seg)
+        all_gain.append(g)
+
+        # Combiner divisors per segment.
+        seg_w = np.zeros((D, Bl), np.float32)
+        if tspec.combiner == "sqrtn":
+            np.add.at(seg_w, (d, b % Bl), g * g)
+            seg_w = np.sqrt(seg_w)
+        elif tspec.combiner == "mean":
+            np.add.at(seg_w, (d, b % Bl), g)
+        else:  # sum
+            seg_w = np.ones((D, Bl), np.float32)
+        seg_w[seg_w == 0] = 1.0
+        lo = fspec.feature_index * Bl
+        divisors[:, lo : lo + Bl] = seg_w
+
+    d = np.concatenate(all_d) if all_d else np.zeros(0, np.int64)
+    s = np.concatenate(all_s) if all_s else np.zeros(0, np.int64)
+    slot = np.concatenate(all_slot) if all_slot else np.zeros(0, np.int64)
+    seg = np.concatenate(all_seg) if all_seg else np.zeros(0, np.int64)
+    gain = np.concatenate(all_gain) if all_gain else np.zeros(0, np.float32)
+
+    # --- bucket by (src device, dst shard), pad to capacity C -------------
+    order = np.lexsort((seg, s, d))
+    d, s, slot, seg, gain = (
+        d[order], s[order], slot[order], seg[order], gain[order]
+    )
+    bucket = d * D + s
+    # Rank of each entry within its bucket.
+    starts = np.searchsorted(bucket, np.arange(D * D))
+    rank = np.arange(len(bucket)) - starts[bucket]
+
+    within = rank < C
+    dropped = int((~within).sum())
+    if dropped and not allow_drop:
+        raise ValueError(
+            f"Bucket capacity exceeded: {dropped} ids dropped (capacity "
+            f"{C}). Raise max_ids_per_partition or enable dropping."
+        )
+    counts = np.bincount(bucket, minlength=D * D)
+    max_ids = int(counts.max()) if len(counts) else 0
+
+    send_slots = np.full((D, D, C), sink, np.int32)
+    send_segs = np.zeros((D, D, C), np.int32)
+    send_gains = np.zeros((D, D, C), np.float32)
+    dd, ss, rr = d[within], s[within], rank[within]
+    send_slots[dd, ss, rr] = slot[within]
+    send_segs[dd, ss, rr] = seg[within]
+    send_gains[dd, ss, rr] = gain[within]
+
+    # --- per-shard dedup for the backward pass ----------------------------
+    # Received layout on shard e: concat over src d of bucket (d, e),
+    # flattened to D*C entries.
+    unique_slots = np.full((D, U), sink, np.int32)
+    entry_unique = np.full((D, D * C), U - 1, np.int32)
+    max_unique = 0
+    for e in range(D):
+        recv_slots = send_slots[:, e, :].reshape(-1)  # [D*C]
+        recv_gains = send_gains[:, e, :].reshape(-1)
+        real = recv_gains != 0
+        uniq, inv = np.unique(recv_slots[real], return_inverse=True)
+        max_unique = max(max_unique, len(uniq))
+        n = min(len(uniq), U - 1)  # last unique slot is the sink
+        unique_slots[e, :n] = uniq[:n]
+        # Entries whose unique row overflowed U point at the sink slot and
+        # their updates are dropped (counted in stats).
+        inv = np.where(inv < n, inv, U - 1)
+        entry_unique[e, np.nonzero(real)[0]] = inv
+
+    stats = InputStats(
+        max_ids_per_bucket=max_ids,
+        max_unique_per_shard=max_unique,
+        dropped_ids=dropped + max(0, max_unique - (U - 1)),
+    )
+    return (
+        CooBatch(
+            send_slots=send_slots,
+            send_segs=send_segs,
+            send_gains=send_gains,
+            unique_slots=unique_slots,
+            entry_unique=entry_unique,
+            divisors=divisors,
+        ),
+        stats,
+    )

@@ -1,0 +1,312 @@
+"""Table stacking and MOD-sharded layout.
+
+Rebuild of the concepts in jax-tpu-embedding's table stacking used by the
+reference (keras_rs/src/layers/embedding/jax/distributed_embedding.py:
+413-458): many small tables are fused into one row-sharded buffer so the
+lookup/update kernels launch once per *stack* instead of once per table.
+
+Layout (for a mesh of D shards):
+  * each table's vocabulary is padded up to a multiple of D;
+  * global row r of table t lives on shard `r % D` at local slot
+    `offset_t + r // D` (MOD sharding, parity with the reference's "MOD"
+    sharding strategy, jax/embedding_lookup.py:78-93);
+  * per-shard buffers from all tables in the stack are concatenated, plus
+    one trailing "sink" row that absorbs padding-entry scatter traffic;
+  * the stacked global array has shape [D * rows_per_shard, stack_dim]
+    with rows_per_shard = sum_t(padded_vocab_t / D) + 1, sharded
+    contiguously over dim 0 (shard s owns block s) — so NamedSharding
+    P('data', None) puts exactly the MOD-interleaved rows of every table
+    on the right device.
+  * stack_dim = max table dim, padded to a multiple of 8 (f32 sublane);
+    features slice [:, :dim] of their activations.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from keras_rs_tpu.core import initializers as init_lib
+from keras_rs_tpu.layers.embedding import optimizers as opt_lib
+from keras_rs_tpu.layers.embedding.config import FeatureConfig, TableConfig
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class StackedTableSpec:
+    """Static layout of one table inside a stack."""
+
+    name: str
+    vocabulary_size: int
+    embedding_dim: int
+    padded_vocab: int  # multiple of num_shards
+    local_offset: int  # first local slot of this table on every shard
+    combiner: str
+
+
+@dataclasses.dataclass(frozen=True)
+class StackedFeatureSpec:
+    """Static binding of one feature to its stack."""
+
+    name: str
+    table_name: str
+    stack_name: str
+    feature_index: int  # block index within the stack's sample space
+    batch_size: int  # global batch
+    valence: int
+    embedding_dim: int
+
+
+@dataclasses.dataclass
+class TableStack:
+    """One fused, sharded table group."""
+
+    name: str
+    num_shards: int
+    stack_dim: int
+    rows_per_shard: int  # includes the trailing sink row
+    tables: list[StackedTableSpec]
+    features: list[StackedFeatureSpec]
+    optimizer: opt_lib.EmbeddingOptimizer
+    max_ids_per_partition: int  # capacity C of each (src, dst) bucket
+    max_unique_ids_per_shard: int  # capacity U of per-shard unique list
+
+    @property
+    def sink_slot(self) -> int:
+        return self.rows_per_shard - 1
+
+    @property
+    def global_rows(self) -> int:
+        return self.num_shards * self.rows_per_shard
+
+    @property
+    def num_features(self) -> int:
+        return len(self.features)
+
+    @property
+    def batch_size(self) -> int:
+        return self.features[0].batch_size
+
+    def table_spec(self, name: str) -> StackedTableSpec:
+        for t in self.tables:
+            if t.name == name:
+                return t
+        raise KeyError(name)
+
+
+def _optimizer_key(table: TableConfig) -> str:
+    opt = opt_lib.get(table.optimizer)
+    try:
+        return f"{opt.name}:{sorted(opt.get_config().items())}"
+    except ValueError:
+        # Callable learning rate: key by identity.
+        return f"{opt.name}:{id(opt.learning_rate)}"
+
+
+def build_stacks(
+    feature_configs: Sequence[FeatureConfig],
+    num_shards: int,
+    *,
+    stacking: str | Sequence[Sequence[str]] = "auto",
+) -> list[TableStack]:
+    """Groups tables into stacks and computes the sharded layout.
+
+    `stacking`:
+      * "auto": tables with the same optimizer and padded dim are fused
+        (parity with jte's auto_stack_tables semantics);
+      * "never": one stack per table;
+      * explicit: list of lists of table names (unlisted tables get their
+        own stack).
+    """
+    # Collect unique tables (by identity, like the reference's shared-table
+    # handling, base_distributed_embedding.py:827-938) with their features.
+    tables: list[TableConfig] = []
+    table_features: dict[int, list[FeatureConfig]] = {}
+    for fc in feature_configs:
+        tid = id(fc.table)
+        if tid not in table_features:
+            tables.append(fc.table)
+            table_features[tid] = []
+        table_features[tid].append(fc)
+
+    names = [t.name for t in tables]
+    if len(set(names)) != len(names):
+        raise ValueError(f"Duplicate table names: {names}")
+
+    # Group tables into stacks.
+    groups: list[list[TableConfig]]
+    if stacking == "never":
+        groups = [[t] for t in tables]
+    elif stacking == "auto":
+        by_key: dict[str, list[TableConfig]] = {}
+        for t in tables:
+            key = f"{_optimizer_key(t)}|dim{_round_up(t.embedding_dim, 8)}"
+            by_key.setdefault(key, []).append(t)
+        groups = list(by_key.values())
+    else:
+        explicit = {name: i for i, g in enumerate(stacking) for name in g}
+        grouped: dict[int | str, list[TableConfig]] = {}
+        for t in tables:
+            grouped.setdefault(explicit.get(t.name, f"solo_{t.name}"), []
+                               ).append(t)
+        groups = list(grouped.values())
+
+    stacks = []
+    for group in groups:
+        stack_dim = max(_round_up(t.embedding_dim, 8) for t in group)
+        opts = {_optimizer_key(t) for t in group}
+        if len(opts) != 1:
+            raise ValueError(
+                "All tables in a stack must share the same optimizer; got "
+                f"{[t.name for t in group]}."
+            )
+        specs: list[StackedTableSpec] = []
+        offset = 0
+        for t in group:
+            padded = _round_up(t.vocabulary_size, num_shards)
+            specs.append(
+                StackedTableSpec(
+                    name=t.name,
+                    vocabulary_size=t.vocabulary_size,
+                    embedding_dim=t.embedding_dim,
+                    padded_vocab=padded,
+                    local_offset=offset,
+                    combiner=t.combiner,
+                )
+            )
+            offset += padded // num_shards
+
+        feature_specs: list[StackedFeatureSpec] = []
+        stack_name = "_".join(t.name for t in group)[:64]
+        batch_sizes = set()
+        for t in group:
+            for fc in table_features[id(t)]:
+                batch_sizes.add(fc.batch_size)
+                feature_specs.append(
+                    StackedFeatureSpec(
+                        name=fc.name,
+                        table_name=t.name,
+                        stack_name=stack_name,
+                        feature_index=len(feature_specs),
+                        batch_size=fc.batch_size,
+                        valence=fc.valence,
+                        embedding_dim=t.embedding_dim,
+                    )
+                )
+        if len(batch_sizes) != 1:
+            raise ValueError(
+                "All features of stacked tables must share the same global "
+                f"batch size; got {sorted(batch_sizes)} in stack "
+                f"{stack_name}."
+            )
+        if batch_sizes.pop() % num_shards != 0:
+            raise ValueError(
+                "Global batch size must be divisible by the number of "
+                f"shards ({num_shards})."
+            )
+
+        stacks.append(
+            TableStack(
+                name=stack_name,
+                num_shards=num_shards,
+                stack_dim=stack_dim,
+                rows_per_shard=offset + 1,  # + sink row
+                tables=specs,
+                features=feature_specs,
+                optimizer=opt_lib.get(group[0].optimizer),
+                max_ids_per_partition=max(
+                    t.max_ids_per_partition for t in group
+                ),
+                max_unique_ids_per_shard=(
+                    max(t.max_unique_ids_per_partition for t in group)
+                    * num_shards
+                ),
+            )
+        )
+    return stacks
+
+
+def init_stack_table(
+    stack: TableStack,
+    table_configs: dict[str, TableConfig],
+    key: jax.Array,
+    dtype: Any = jnp.float32,
+) -> jax.Array:
+    """Materializes the stacked global array [D * rows_per_shard, dim].
+
+    Each table is initialized with its own initializer over its full
+    (padded) vocabulary, then MOD-interleaved into the stacked layout:
+    T.reshape(V/D, D, dim).transpose(1, 0, 2) puts shard-s rows together.
+    Intended to be called under jit with an out_sharding of P(axis, None).
+    """
+    D = stack.num_shards
+    parts = []
+    keys = jax.random.split(key, len(stack.tables))
+    for t, k in zip(stack.tables, keys):
+        cfg = table_configs[t.name]
+        initializer = init_lib.get(cfg.initializer)
+        full = initializer(k, (t.padded_vocab, stack.stack_dim), dtype)
+        if t.embedding_dim < stack.stack_dim:
+            # Zero the dim padding so exports are exact.
+            mask = (
+                jnp.arange(stack.stack_dim) < t.embedding_dim
+            ).astype(dtype)
+            full = full * mask
+        # Zero padded vocab rows.
+        if t.padded_vocab > t.vocabulary_size:
+            row_mask = (
+                jnp.arange(t.padded_vocab) < t.vocabulary_size
+            ).astype(dtype)
+            full = full * row_mask[:, None]
+        parts.append(
+            full.reshape(t.padded_vocab // D, D, stack.stack_dim).transpose(
+                1, 0, 2
+            )
+        )
+    sink = jnp.zeros((D, 1, stack.stack_dim), dtype)
+    stacked = jnp.concatenate(parts + [sink], axis=1)
+    return stacked.reshape(stack.global_rows, stack.stack_dim)
+
+
+def gather_table(
+    stack: TableStack, stacked: jax.Array | np.ndarray, table_name: str
+) -> np.ndarray:
+    """Unstacks + unshards one table back to [vocab, dim] (host-side).
+
+    Parity with `get_embedding_tables`
+    (jax/distributed_embedding.py:819-840).
+    """
+    t = stack.table_spec(table_name)
+    D = stack.num_shards
+    arr = np.asarray(stacked)
+    r = np.arange(t.vocabulary_size)
+    global_idx = (r % D) * stack.rows_per_shard + t.local_offset + r // D
+    return arr[global_idx, : t.embedding_dim]
+
+
+def scatter_table(
+    stack: TableStack,
+    stacked: np.ndarray,
+    table_name: str,
+    values: np.ndarray,
+) -> np.ndarray:
+    """Writes [vocab, dim] values for one table into the stacked layout."""
+    t = stack.table_spec(table_name)
+    D = stack.num_shards
+    if values.shape != (t.vocabulary_size, t.embedding_dim):
+        raise ValueError(
+            f"Expected shape {(t.vocabulary_size, t.embedding_dim)}, got "
+            f"{values.shape}."
+        )
+    r = np.arange(t.vocabulary_size)
+    global_idx = (r % D) * stack.rows_per_shard + t.local_offset + r // D
+    out = np.array(stacked)
+    out[global_idx, : t.embedding_dim] = values
+    return out

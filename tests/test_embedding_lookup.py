@@ -1,0 +1,295 @@
+"""Golden-math tests for the sharded embedding subsystem.
+
+Mirrors the reference's oracle strategy (keras_rs/src/layers/embedding/
+test_utils.py: numpy sparse-dense matmul as ground truth, jax/test_utils.py
+for expected gradients and optimizer updates): stacking layout round-trip,
+COO preprocessing, all-to-all lookup forward, fused-optimizer backward —
+all on the 8-device virtual CPU mesh.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from keras_rs_tpu.layers.embedding import optimizers as opt_lib
+from keras_rs_tpu.layers.embedding.config import FeatureConfig, TableConfig
+from keras_rs_tpu.layers.embedding.lookup import (
+    init_stack_state,
+    split_activations,
+    stack_lookup,
+)
+from keras_rs_tpu.layers.embedding.preprocessing import preprocess_stack
+from keras_rs_tpu.layers.embedding.stacking import (
+    build_stacks,
+    gather_table,
+    init_stack_table,
+    scatter_table,
+)
+from keras_rs_tpu.parallel import mesh as mesh_lib
+
+D = 8
+B = 16
+AXIS = "data"
+
+
+def make_configs(optimizer="sgd", combiner="mean"):
+    t_movie = TableConfig(
+        name="movie", vocabulary_size=50, embedding_dim=6,
+        optimizer=optimizer, combiner=combiner,
+        max_ids_per_partition=16, max_unique_ids_per_partition=16,
+    )
+    t_user = TableConfig(
+        name="user", vocabulary_size=30, embedding_dim=8,
+        optimizer=optimizer, combiner="sum",
+        max_ids_per_partition=16, max_unique_ids_per_partition=16,
+    )
+    fcs = [
+        FeatureConfig("movie_hist", t_movie, (B, 3), (B, 6)),
+        FeatureConfig("movie_id", t_movie, (B,), (B, 6)),
+        FeatureConfig("user_id", t_user, (B, 2), (B, 8)),
+    ]
+    return fcs
+
+
+def make_inputs(seed=0):
+    rng = np.random.default_rng(seed)
+    inputs = {
+        "movie_hist": rng.integers(0, 50, size=(B, 3)),
+        "movie_id": rng.integers(0, 50, size=(B,)),
+        "user_id": rng.integers(0, 30, size=(B, 2)),
+    }
+    weights = {
+        "movie_hist": (rng.random((B, 3)) > 0.3).astype(np.float32),
+        "user_id": rng.random((B, 2)).astype(np.float32),
+    }
+    return inputs, weights
+
+
+def oracle_activations(tables, fcs, inputs, weights):
+    """Numpy golden lookup (no sharding, no stacking)."""
+    out = {}
+    for fc in fcs:
+        t = fc.table
+        ids = np.asarray(inputs[fc.name])
+        if ids.ndim == 1:
+            ids = ids[:, None]
+        w = weights.get(fc.name) if weights else None
+        w = np.ones(ids.shape, np.float32) if w is None else np.asarray(w)
+        if w.ndim == 1:
+            w = w[:, None]
+        emb = tables[t.name][ids] * w[..., None]
+        s = emb.sum(axis=1)
+        if t.combiner == "mean":
+            div = w.sum(axis=1)
+        elif t.combiner == "sqrtn":
+            div = np.sqrt((w**2).sum(axis=1))
+        else:
+            div = np.ones(ids.shape[0])
+        div[div == 0] = 1.0
+        out[fc.name] = s / div[:, None]
+    return out
+
+
+def setup_stack(fcs, seed=1):
+    mesh = mesh_lib.create_mesh()
+    stacks = build_stacks(fcs, D, stacking="auto")
+    rng = np.random.default_rng(seed)
+    raw_tables = {}
+    for stack in stacks:
+        for ts in stack.tables:
+            raw_tables[ts.name] = rng.normal(
+                size=(ts.vocabulary_size, ts.embedding_dim)
+            ).astype(np.float32)
+    states = {}
+    for stack in stacks:
+        buf = np.zeros((stack.global_rows, stack.stack_dim), np.float32)
+        for ts in stack.tables:
+            buf = scatter_table(stack, buf, ts.name, raw_tables[ts.name])
+        table = jax.device_put(buf, mesh_lib.table_sharding(mesh))
+        states[stack.name] = init_stack_state(stack, table)
+    return mesh, stacks, states, raw_tables
+
+
+def put_coo(mesh, coo):
+    sharding = mesh_lib.batch_sharding(mesh)
+    return {
+        k: jax.device_put(v, sharding) for k, v in coo.arrays().items()
+    }
+
+
+def test_stacking_roundtrip():
+    fcs = make_configs()
+    _, stacks, _, raw = setup_stack(fcs)
+    for stack in stacks:
+        for ts in stack.tables:
+            buf = np.zeros(
+                (stack.global_rows, stack.stack_dim), np.float32
+            )
+            buf = scatter_table(stack, buf, ts.name, raw[ts.name])
+            back = gather_table(stack, buf, ts.name)
+            np.testing.assert_array_equal(back, raw[ts.name])
+
+
+def test_auto_stacking_groups_same_dim_pad():
+    fcs = make_configs()
+    stacks = build_stacks(fcs, D, stacking="auto")
+    # movie dim 6 -> pad 8, user dim 8 -> pad 8, same sgd optimizer: fused.
+    assert len(stacks) == 1
+    assert stacks[0].stack_dim == 8
+    assert len(stacks[0].tables) == 2
+    assert stacks[0].num_features == 3
+    stacks_never = build_stacks(fcs, D, stacking="never")
+    assert len(stacks_never) == 2
+
+
+def test_preprocess_stats_and_padding():
+    fcs = make_configs()
+    stacks = build_stacks(fcs, D)
+    inputs, weights = make_inputs()
+    coo, stats = preprocess_stack(stacks[0], inputs, weights)
+    assert coo.send_slots.shape == (D, D, 16)
+    assert stats.dropped_ids == 0
+    assert stats.max_ids_per_bucket <= 16
+    # Padding entries have zero gains and point at the sink slot.
+    pad = coo.send_gains == 0
+    assert (coo.send_slots[pad] == stacks[0].sink_slot).all()
+
+
+@pytest.mark.parametrize("combiner", ["mean", "sum", "sqrtn"])
+def test_forward_matches_oracle(combiner):
+    fcs = make_configs(combiner=combiner)
+    mesh, stacks, states, raw = setup_stack(fcs)
+    stack = stacks[0]
+    inputs, weights = make_inputs()
+    coo, _ = preprocess_stack(stack, inputs, weights)
+    coo_dev = put_coo(mesh, coo)
+
+    @jax.jit
+    def fwd(state, coo_dev):
+        acts = stack_lookup(stack, mesh, AXIS, state, coo_dev)
+        return split_activations(stack, acts)
+
+    acts = fwd(states[stack.name], coo_dev)
+    expected = oracle_activations(raw, fcs, inputs, weights)
+    for fc in fcs:
+        np.testing.assert_allclose(
+            np.asarray(acts[fc.name]),
+            expected[fc.name],
+            rtol=1e-5,
+            atol=1e-5,
+            err_msg=fc.name,
+        )
+
+
+def oracle_row_grads(fcs, inputs, weights, cotangents):
+    """Expected d(loss)/d(table rows) for loss = sum(acts * cotangents)."""
+    grads = {
+        fc.table.name: np.zeros(
+            (fc.table.vocabulary_size, fc.table.embedding_dim), np.float64
+        )
+        for fc in fcs
+    }
+    for fc in fcs:
+        t = fc.table
+        ids = np.asarray(inputs[fc.name])
+        if ids.ndim == 1:
+            ids = ids[:, None]
+        w = weights.get(fc.name) if weights else None
+        w = np.ones(ids.shape, np.float32) if w is None else np.asarray(w)
+        if w.ndim == 1:
+            w = w[:, None]
+        if t.combiner == "mean":
+            div = w.sum(axis=1)
+        elif t.combiner == "sqrtn":
+            div = np.sqrt((w**2).sum(axis=1))
+        else:
+            div = np.ones(ids.shape[0])
+        div[div == 0] = 1.0
+        c = np.asarray(cotangents[fc.name])  # [B, dim]
+        for b in range(ids.shape[0]):
+            for l in range(ids.shape[1]):
+                if w[b, l] != 0:
+                    grads[t.name][ids[b, l]] += (
+                        w[b, l] / div[b]
+                    ) * c[b]
+    return grads
+
+
+@pytest.mark.parametrize("optimizer", ["sgd", "adagrad", "adam", "ftrl"])
+def test_backward_fused_update_matches_oracle(optimizer):
+    fcs = make_configs(optimizer=optimizer)
+    mesh, stacks, states, raw = setup_stack(fcs)
+    stack = stacks[0]
+    inputs, weights = make_inputs()
+    coo, _ = preprocess_stack(stack, inputs, weights)
+    coo_dev = put_coo(mesh, coo)
+
+    rng = np.random.default_rng(7)
+    cotangents = {
+        fc.name: rng.normal(size=(B, fc.table.embedding_dim)).astype(
+            np.float32
+        )
+        for fc in fcs
+    }
+
+    def loss_fn(state):
+        acts = stack_lookup(stack, mesh, AXIS, state, coo_dev)
+        feats = split_activations(stack, acts)
+        return sum(
+            jnp.sum(feats[fc.name] * cotangents[fc.name]) for fc in fcs
+        )
+
+    new_state = jax.jit(jax.grad(loss_fn))(states[stack.name])
+
+    # Step counter cotangent: step + 1.
+    np.testing.assert_allclose(float(new_state["step"]), 1.0)
+
+    # Expected updated tables: optimizer applied to touched rows.
+    expected_grads = oracle_row_grads(fcs, inputs, weights, cotangents)
+    opt = opt_lib.get(optimizer)
+    for ts in stack.tables:
+        g = expected_grads[ts.name].astype(np.float32)
+        touched = (np.abs(g).sum(axis=1) > 0)
+        rows = raw[ts.name]
+        slots = {
+            name: np.asarray(
+                opt.init_slot(name, rows.shape, jnp.float32)
+            )
+            for name in opt.slot_names
+        }
+        exp_rows, _ = opt.apply(
+            jnp.asarray(rows), jnp.asarray(g),
+            {k: jnp.asarray(v) for k, v in slots.items()},
+            jnp.zeros(()),
+        )
+        exp_rows = np.asarray(exp_rows)
+        got = gather_table(stack, np.asarray(new_state["table"]), ts.name)
+        # Touched rows: fused update must match the oracle update.
+        np.testing.assert_allclose(
+            got[touched], exp_rows[touched], rtol=5e-4, atol=5e-5,
+            err_msg=f"{ts.name} touched rows",
+        )
+        # Untouched rows unchanged.
+        np.testing.assert_allclose(
+            got[~touched], rows[~touched], rtol=1e-6,
+            err_msg=f"{ts.name} untouched rows",
+        )
+
+
+def test_init_stack_table_sharded():
+    fcs = make_configs()
+    mesh = mesh_lib.create_mesh()
+    stacks = build_stacks(fcs, D)
+    stack = stacks[0]
+    cfg_by_name = {fc.table.name: fc.table for fc in fcs}
+    table = jax.jit(
+        lambda k: init_stack_table(stack, cfg_by_name, k),
+        out_shardings=mesh_lib.table_sharding(mesh),
+    )(jax.random.key(0))
+    assert table.shape == (stack.global_rows, stack.stack_dim)
+    # Exported tables should have zero padding beyond embedding_dim and
+    # plausible variance (VarianceScaling fan_out: std ~ 1/sqrt(dim)).
+    movie = gather_table(stack, np.asarray(table), "movie")
+    assert movie.shape == (50, 6)
+    assert abs(movie.std() - 1.0 / np.sqrt(6)) < 0.15
