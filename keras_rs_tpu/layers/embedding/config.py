@@ -23,7 +23,7 @@ PLACEMENTS = ("auto", "sharded", "default_device", "sparsecore")
 COMBINERS = ("mean", "sum", "sqrtn")
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(eq=False)
 class TableConfig:
     """Configuration for one embedding table.
 
@@ -98,7 +98,7 @@ class TableConfig:
         return cls(**config)
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(eq=False)
 class FeatureConfig:
     """Binds one input feature to a table.
 

@@ -1,0 +1,362 @@
+"""DistributedEmbedding: the user-facing sharded embedding layer.
+
+TPU-native rebuild of the reference's flagship layer
+(keras_rs/src/layers/embedding/base_distributed_embedding.py and
+jax/distributed_embedding.py): nested feature structures, per-table
+placement dispatch ("sharded" over the mesh vs "default_device"
+EmbedReduce), table sharing by TableConfig identity, auto table stacking,
+host-side `preprocess`, table import/export, and input-stats tracking for
+capacity auto-growth (`update_stats` parity).
+
+Usage:
+    layer = DistributedEmbedding(feature_configs, mesh=mesh, key=key)
+    pre = layer.preprocess(inputs, weights)          # host, per batch
+    activations = layer(pre)                         # inside jit
+Training integrates via keras_rs_tpu.training: the sharded table states
+are `Overwrite`-wrapped so their fused in-kernel optimizer updates flow
+through the standard train step.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from keras_rs_tpu.core import initializers as init_lib
+from keras_rs_tpu.core.module import Module
+from keras_rs_tpu.core.serialization import export
+from keras_rs_tpu.layers.embedding.config import FeatureConfig, TableConfig
+from keras_rs_tpu.layers.embedding.embed_reduce import EmbedReduce
+from keras_rs_tpu.layers.embedding.lookup import (
+    init_stack_state,
+    split_activations,
+    stack_lookup,
+)
+from keras_rs_tpu.layers.embedding.preprocessing import (
+    InputStats,
+    preprocess_stack,
+)
+from keras_rs_tpu.layers.embedding.stacking import (
+    build_stacks,
+    gather_table,
+    init_stack_table,
+    scatter_table,
+)
+from keras_rs_tpu.parallel import mesh as mesh_lib
+from keras_rs_tpu.training.train_state import Overwrite
+
+PREPROCESSED_KEY = "__keras_rs_tpu_preprocessed__"
+
+
+class _StatsBox:
+    """Identity-hashed mutable stats holder.
+
+    Stats change every batch but must not change the module's jit cache
+    key, so they live behind an identity-stable box.
+    """
+
+    def __init__(self) -> None:
+        self.stats: dict[str, InputStats] = {}
+
+
+def _flatten_features(feature_configs: Any):
+    leaves, treedef = jax.tree_util.tree_flatten(
+        feature_configs,
+        is_leaf=lambda x: isinstance(x, FeatureConfig),
+    )
+    for leaf in leaves:
+        if not isinstance(leaf, FeatureConfig):
+            raise ValueError(
+                f"Expected FeatureConfig leaves, got {type(leaf)}."
+            )
+    names = [fc.name for fc in leaves]
+    if len(set(names)) != len(names):
+        raise ValueError(f"Duplicate feature names: {names}")
+    return leaves, treedef
+
+
+@export("keras_rs_tpu.layers.DistributedEmbedding")
+class DistributedEmbedding(Module):
+    def __init__(
+        self,
+        feature_configs: Any,
+        *,
+        key: jax.Array | None = None,
+        mesh: Mesh | None = None,
+        axis_name: str = mesh_lib.DATA_AXIS,
+        table_stacking: Any = "auto",
+        dtype: Any = jnp.float32,
+    ) -> None:
+        if key is None:
+            key = jax.random.key(0)
+        if mesh is None:
+            mesh = mesh_lib.create_mesh(axis_name=axis_name)
+        self.mesh = mesh
+        self.axis_name = axis_name
+        self._feature_leaves, self._feature_treedef = _flatten_features(
+            feature_configs
+        )
+
+        num_shards = mesh.shape[axis_name]
+
+        # Placement resolution (parity with TableConfig.placement "auto"):
+        # sharded when the mesh has >1 device, else default_device.
+        def resolved(table: TableConfig) -> str:
+            if table.placement in ("sharded", "sparsecore"):
+                return "sharded"
+            if table.placement == "default_device":
+                return "default_device"
+            return "sharded" if num_shards > 1 else "default_device"
+
+        sharded_fcs = [
+            fc for fc in self._feature_leaves if resolved(fc.table) == "sharded"
+        ]
+        dense_fcs = [
+            fc
+            for fc in self._feature_leaves
+            if resolved(fc.table) != "sharded"
+        ]
+        self._sharded_feature_names = tuple(fc.name for fc in sharded_fcs)
+
+        # --- sharded path: stacks + on-device sharded init ---------------
+        self.stacks = tuple(
+            build_stacks(sharded_fcs, num_shards, stacking=table_stacking)
+            if sharded_fcs
+            else ()
+        )
+        self._table_configs = {
+            fc.table.name: fc.table for fc in self._feature_leaves
+        }
+        states = {}
+        if self.stacks:
+            keys = jax.random.split(key, len(self.stacks) + 1)
+            key = keys[0]
+            for stack, k in zip(self.stacks, keys[1:]):
+                table = jax.jit(
+                    lambda kk, s=stack: init_stack_table(
+                        s, self._table_configs, kk, dtype
+                    ),
+                    out_shardings=mesh_lib.table_sharding(mesh, axis_name),
+                )(k)
+                states[stack.name] = init_stack_state(stack, table)
+        self.state = Overwrite(states)
+
+        # --- dense path: one EmbedReduce per unique table -----------------
+        dense_tables: dict[str, EmbedReduce] = {}
+        feature_to_table: dict[str, str] = {}
+        for fc in dense_fcs:
+            t = fc.table
+            feature_to_table[fc.name] = t.name
+            if t.name not in dense_tables:
+                key, sub = jax.random.split(key)
+                dense_tables[t.name] = EmbedReduce(
+                    t.vocabulary_size,
+                    t.embedding_dim,
+                    key=sub,
+                    embeddings_initializer=init_lib.get(t.initializer),
+                    combiner=t.combiner,
+                    dtype=dtype,
+                    name=t.name,
+                )
+        self.dense_tables = dense_tables
+        self._dense_feature_to_table = feature_to_table
+        self._stats = _StatsBox()
+
+    # ------------------------------------------------------------------
+    def preprocess(
+        self,
+        inputs: Any,
+        weights: Any = None,
+        training: bool = False,
+    ) -> dict[str, Any]:
+        """Host-side preprocessing: COO bucketing + device placement.
+
+        `inputs` / `weights` are nested structures matching the layer's
+        feature_configs (numpy or jax arrays, (B,) or (B, L) per feature).
+        Returns a marker-wrapped dict to pass to `__call__` inside jit.
+        Parity: base_distributed_embedding.py:630-738.
+        """
+        in_leaves = self._match_features(inputs)
+        w_leaves = (
+            self._match_features(weights)
+            if weights is not None
+            else {fc.name: None for fc in self._feature_leaves}
+        )
+
+        sharded = {}
+        for stack in self.stacks:
+            coo, stats = preprocess_stack(
+                stack,
+                {f.name: in_leaves[f.name] for f in stack.features},
+                {
+                    f.name: w_leaves[f.name]
+                    for f in stack.features
+                    if w_leaves[f.name] is not None
+                },
+            )
+            if training:
+                prev = self._stats.stats.get(stack.name)
+                if prev is None:
+                    self._stats.stats[stack.name] = stats
+                else:
+                    self._stats.stats[stack.name] = InputStats(
+                        max_ids_per_bucket=max(
+                            prev.max_ids_per_bucket,
+                            stats.max_ids_per_bucket,
+                        ),
+                        max_unique_per_shard=max(
+                            prev.max_unique_per_shard,
+                            stats.max_unique_per_shard,
+                        ),
+                        dropped_ids=prev.dropped_ids + stats.dropped_ids,
+                    )
+            sharding = mesh_lib.batch_sharding(self.mesh, self.axis_name)
+            sharded[stack.name] = {
+                k: jax.device_put(v, sharding)
+                for k, v in coo.arrays().items()
+            }
+
+        dense = {}
+        batch_sharding = mesh_lib.batch_sharding(self.mesh, self.axis_name)
+        for fc in self._feature_leaves:
+            if fc.name in self._dense_feature_to_table:
+                ids = jnp.asarray(np.asarray(in_leaves[fc.name]))
+                w = w_leaves[fc.name]
+                w = None if w is None else jnp.asarray(np.asarray(w))
+                ids = jax.device_put(ids, batch_sharding)
+                if w is not None:
+                    w = jax.device_put(w, batch_sharding)
+                dense[fc.name] = (ids, w)
+
+        return {PREPROCESSED_KEY: np.zeros(()), "sharded": sharded,
+                "dense": dense}
+
+    def _match_features(self, structure: Any) -> dict[str, Any]:
+        leaves = jax.tree_util.tree_leaves(
+            structure,
+            is_leaf=lambda x: x is None
+            or isinstance(x, (np.ndarray, jax.Array)),
+        )
+        if len(leaves) != len(self._feature_leaves):
+            raise ValueError(
+                f"Expected {len(self._feature_leaves)} feature inputs, got "
+                f"{len(leaves)}."
+            )
+        return {
+            fc.name: leaf
+            for fc, leaf in zip(self._feature_leaves, leaves)
+        }
+
+    # ------------------------------------------------------------------
+    def __call__(
+        self, inputs: Any, weights: Any = None, training: bool = False
+    ) -> Any:
+        """Looks up embeddings; accepts raw inputs or preprocessed ones."""
+        if not (isinstance(inputs, dict) and PREPROCESSED_KEY in inputs):
+            inputs = self.preprocess(inputs, weights, training)
+
+        acts_by_name: dict[str, jax.Array] = {}
+        for stack in self.stacks:
+            acts = stack_lookup(
+                stack,
+                self.mesh,
+                self.axis_name,
+                self.state.value[stack.name],
+                inputs["sharded"][stack.name],
+            )
+            acts_by_name.update(split_activations(stack, acts))
+        for name, (ids, w) in inputs["dense"].items():
+            table = self.dense_tables[self._dense_feature_to_table[name]]
+            acts_by_name[name] = table(ids, w)
+
+        return jax.tree_util.tree_unflatten(
+            self._feature_treedef,
+            [acts_by_name[fc.name] for fc in self._feature_leaves],
+        )
+
+    # ------------------------------------------------------------------
+    def get_embedding_tables(self) -> dict[str, np.ndarray]:
+        """Unstacked, unsharded [vocab, dim] tables by name.
+
+        Parity: jax/distributed_embedding.py:819-840.
+        """
+        out = {}
+        for stack in self.stacks:
+            stacked = np.asarray(self.state.value[stack.name]["table"])
+            for ts in stack.tables:
+                out[ts.name] = gather_table(stack, stacked, ts.name)
+        for name, layer in self.dense_tables.items():
+            out[name] = np.asarray(layer.embeddings)
+        return out
+
+    def set_embedding_tables(
+        self, tables: Mapping[str, np.ndarray]
+    ) -> None:
+        """Imports [vocab, dim] values (host -> sharded device layout)."""
+        for stack in self.stacks:
+            present = [t for t in stack.tables if t.name in tables]
+            if not present:
+                continue
+            stacked = np.asarray(self.state.value[stack.name]["table"])
+            for ts in present:
+                stacked = scatter_table(
+                    stack, stacked, ts.name, np.asarray(tables[ts.name])
+                )
+            self.state.value[stack.name]["table"] = jax.device_put(
+                stacked,
+                mesh_lib.table_sharding(self.mesh, self.axis_name),
+            )
+        for name, layer in self.dense_tables.items():
+            if name in tables:
+                layer.embeddings = jnp.asarray(tables[name])
+
+    @property
+    def input_stats(self) -> dict[str, InputStats]:
+        """Observed preprocessing stats (update_stats parity)."""
+        return dict(self._stats.stats)
+
+    # ------------------------------------------------------------------
+    def get_config(self) -> dict[str, Any]:
+        # Dedup shared tables by index (parity with
+        # base_distributed_embedding.py:1053-1139).
+        tables: list[TableConfig] = []
+        table_index: dict[int, int] = {}
+        feature_specs = []
+        for fc in self._feature_leaves:
+            tid = id(fc.table)
+            if tid not in table_index:
+                table_index[tid] = len(tables)
+                tables.append(fc.table)
+            feature_specs.append(
+                {
+                    "name": fc.name,
+                    "table_index": table_index[tid],
+                    "input_shape": tuple(fc.input_shape),
+                    "output_shape": tuple(fc.output_shape),
+                }
+            )
+        return {
+            "tables": [t.get_config() for t in tables],
+            "features": feature_specs,
+            "axis_name": self.axis_name,
+        }
+
+    @classmethod
+    def from_config(cls, config: dict[str, Any]) -> "DistributedEmbedding":
+        tables = [
+            TableConfig.from_config(c) for c in config["tables"]
+        ]
+        fcs = [
+            FeatureConfig(
+                name=f["name"],
+                table=tables[f["table_index"]],
+                input_shape=tuple(f["input_shape"]),
+                output_shape=tuple(f["output_shape"]),
+            )
+            for f in config["features"]
+        ]
+        return cls(fcs, axis_name=config.get("axis_name", "data"))

@@ -47,7 +47,7 @@ class CooBatch:
         return dataclasses.asdict(self)
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class InputStats:
     """Observed stats for capacity validation / auto-growth."""
 

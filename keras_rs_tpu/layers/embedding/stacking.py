@@ -64,7 +64,7 @@ class StackedFeatureSpec:
     embedding_dim: int
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class TableStack:
     """One fused, sharded table group."""
 
@@ -72,8 +72,8 @@ class TableStack:
     num_shards: int
     stack_dim: int
     rows_per_shard: int  # includes the trailing sink row
-    tables: list[StackedTableSpec]
-    features: list[StackedFeatureSpec]
+    tables: tuple[StackedTableSpec, ...]
+    features: tuple[StackedFeatureSpec, ...]
     optimizer: opt_lib.EmbeddingOptimizer
     max_ids_per_partition: int  # capacity C of each (src, dst) bucket
     max_unique_ids_per_shard: int  # capacity U of per-shard unique list
@@ -218,8 +218,8 @@ def build_stacks(
                 num_shards=num_shards,
                 stack_dim=stack_dim,
                 rows_per_shard=offset + 1,  # + sink row
-                tables=specs,
-                features=feature_specs,
+                tables=tuple(specs),
+                features=tuple(feature_specs),
                 optimizer=opt_lib.get(group[0].optimizer),
                 max_ids_per_partition=max(
                     t.max_ids_per_partition for t in group
