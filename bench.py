@@ -58,7 +58,7 @@ def build(placement: str, mesh, batch_size: int, vocab: int, dim: int):
 
     optimizer = optax.adagrad(cfg.learning_rate)
     state = training.create_train_state(model, optimizer)
-    step = training.make_train_step(bce_loss, optimizer, donate=False)
+    step = training.make_train_step(bce_loss, optimizer)
     return state, step, pre
 
 
@@ -79,7 +79,7 @@ def main() -> None:
     from keras_rs_tpu.parallel import mesh as mesh_lib
 
     batch_size = int(os.environ.get("BENCH_BATCH", 8192))
-    vocab = int(os.environ.get("BENCH_VOCAB", 1_000_000))
+    vocab = int(os.environ.get("BENCH_VOCAB", 4_000_000))
     dim = int(os.environ.get("BENCH_DIM", 128))
     iters = int(os.environ.get("BENCH_ITERS", 20))
 
