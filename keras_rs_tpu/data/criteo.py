@@ -1,0 +1,156 @@
+"""Criteo dataloader: TFRecord files or dummy data, multi-host aware.
+
+Capability parity with examples/ml_perf/dataloader.py: 13 dense float
+features + 26 categorical multi-hot int64 features stored `decode_raw`
+style (raw little-endian bytes in a BytesList), a seeded shuffle that is
+IDENTICAL across processes (dataloader.py:210-234 — every host shuffles
+the same way, then takes its own slice of each global batch), and a
+dummy-data mode (dataloader.py:67-133).
+"""
+
+from __future__ import annotations
+
+import glob as globlib
+from typing import Iterator, Sequence
+
+import numpy as np
+
+from keras_rs_tpu.data.tfrecord import parse_example, read_tfrecords
+
+NUM_DENSE = 13
+NUM_CATEGORICAL = 26
+
+
+class CriteoDataset:
+    """Batches of {dense: [B,13] f32, cat_i: [B,mi] i64, label: [B] f32}.
+
+    When `file_pattern` is None, generates dummy data with the right
+    shapes. `process_index`/`process_count` slice each global batch into
+    the per-host shard (identical shuffle across hosts).
+    """
+
+    def __init__(
+        self,
+        file_pattern: str | None,
+        *,
+        global_batch_size: int,
+        vocab_sizes: Sequence[int],
+        multi_hot_sizes: Sequence[int] | None = None,
+        shuffle_seed: int = 0,
+        process_index: int = 0,
+        process_count: int = 1,
+        dense_key: str = "dense_features",
+        label_key: str = "label",
+        cat_key_fmt: str = "categorical_feature_{i}",
+    ) -> None:
+        if global_batch_size % process_count:
+            raise ValueError(
+                "global_batch_size must be divisible by process_count."
+            )
+        self.file_pattern = file_pattern
+        self.files = (
+            sorted(globlib.glob(file_pattern)) if file_pattern else []
+        )
+        if file_pattern and not self.files:
+            raise FileNotFoundError(file_pattern)
+        self.global_batch_size = global_batch_size
+        self.vocab_sizes = list(vocab_sizes)
+        self.multi_hot_sizes = list(
+            multi_hot_sizes or [1] * len(vocab_sizes)
+        )
+        self.shuffle_seed = shuffle_seed
+        self.process_index = process_index
+        self.process_count = process_count
+        self.dense_key = dense_key
+        self.label_key = label_key
+        self.cat_key_fmt = cat_key_fmt
+
+    # -- dummy mode ---------------------------------------------------------
+    def dummy_batches(
+        self, num_batches: int, seed: int | None = None
+    ) -> Iterator[dict[str, np.ndarray]]:
+        rng = np.random.default_rng(
+            self.shuffle_seed if seed is None else seed
+        )
+        B = self.global_batch_size
+        for _ in range(num_batches):
+            batch = {
+                "dense": rng.normal(size=(B, NUM_DENSE)).astype(
+                    np.float32
+                ),
+                "label": rng.integers(0, 2, size=(B,)).astype(np.float32),
+            }
+            for i, (v, m) in enumerate(
+                zip(self.vocab_sizes, self.multi_hot_sizes)
+            ):
+                batch[f"cat_{i}"] = rng.integers(
+                    0, v, size=(B, m), dtype=np.int64
+                )
+            yield self._host_shard(batch)
+
+    # -- tfrecord mode --------------------------------------------------------
+    def _example_to_row(self, payload: bytes) -> dict[str, np.ndarray]:
+        ex = parse_example(payload)
+        row: dict[str, np.ndarray] = {}
+        dense = ex.get(self.dense_key)
+        if isinstance(dense, list):  # decode_raw: bytes of f32
+            dense = np.frombuffer(dense[0], dtype="<f4")
+        row["dense"] = np.asarray(dense, np.float32)[:NUM_DENSE]
+        label = ex.get(self.label_key)
+        if isinstance(label, list):
+            label = np.frombuffer(label[0], dtype="<i4")
+        row["label"] = np.float32(np.asarray(label).reshape(-1)[0])
+        for i in range(len(self.vocab_sizes)):
+            cat = ex.get(self.cat_key_fmt.format(i=i))
+            if isinstance(cat, list):  # decode_raw: bytes of i64
+                cat = np.frombuffer(cat[0], dtype="<i8")
+            cat = np.asarray(cat, np.int64).reshape(-1)
+            m = self.multi_hot_sizes[i]
+            if len(cat) < m:
+                cat = np.pad(cat, (0, m - len(cat)), mode="edge")
+            row[f"cat_{i}"] = cat[:m]
+        return row
+
+    def batches(
+        self, epochs: int = 1
+    ) -> Iterator[dict[str, np.ndarray]]:
+        """Shuffled global batches, sliced to this host's shard."""
+        if not self.files:
+            raise ValueError(
+                "No files configured; use dummy_batches() instead."
+            )
+        B = self.global_batch_size
+        for epoch in range(epochs):
+            # Identical shuffle on every process.
+            rng = np.random.default_rng(self.shuffle_seed + epoch)
+            files = list(self.files)
+            rng.shuffle(files)
+            buffer: list[dict[str, np.ndarray]] = []
+            for path in files:
+                for payload in read_tfrecords(path):
+                    buffer.append(self._example_to_row(payload))
+                    if len(buffer) == B:
+                        yield self._host_shard(self._collate(buffer))
+                        buffer = []
+
+    def _collate(
+        self, rows: list[dict[str, np.ndarray]]
+    ) -> dict[str, np.ndarray]:
+        out = {
+            "dense": np.stack([r["dense"] for r in rows]),
+            "label": np.asarray(
+                [r["label"] for r in rows], np.float32
+            ),
+        }
+        for i in range(len(self.vocab_sizes)):
+            out[f"cat_{i}"] = np.stack([r[f"cat_{i}"] for r in rows])
+        return out
+
+    def _host_shard(
+        self, batch: dict[str, np.ndarray]
+    ) -> dict[str, np.ndarray]:
+        if self.process_count == 1:
+            return batch
+        per_host = self.global_batch_size // self.process_count
+        lo = self.process_index * per_host
+        return {k: v[lo : lo + per_host] for k, v in batch.items()}
