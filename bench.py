@@ -23,6 +23,8 @@ def build(placement: str, mesh, batch_size: int, vocab: int, dim: int):
     import jax
     import optax
 
+    num_shards = mesh.devices.size
+
     from keras_rs_tpu import training
     from keras_rs_tpu.data import synthetic
     from keras_rs_tpu.models.dlrm import DLRMConfig, DLRMDCNv2, bce_loss
@@ -38,8 +40,11 @@ def build(placement: str, mesh, batch_size: int, vocab: int, dim: int):
         num_dcn_layers=3,
         dcn_projection_dim=256,
         embedding_threshold=21_000,
-        max_ids_per_partition=4096,
-        max_unique_ids_per_partition=4096,
+        # Worst-case per-bucket capacity so NO ids are dropped:
+        # sum_f (B / D) * multi_hot_f for the large-table stack.
+        max_ids_per_partition=(batch_size // num_shards) * 5,
+        max_unique_ids_per_partition=(batch_size // num_shards) * 5
+        // max(1, num_shards),
         learning_rate=0.0034,
         global_batch_size=batch_size,
         table_placement=placement,

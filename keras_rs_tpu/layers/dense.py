@@ -31,6 +31,7 @@ class Dense(Module):
         kernel_initializer: Any = "glorot_uniform",
         bias_initializer: Any = "zeros",
         dtype: Any = jnp.float32,
+        compute_dtype: Any = None,
         name: str | None = None,
     ) -> None:
         k_kernel, k_bias = jax.random.split(key)
@@ -45,10 +46,22 @@ class Dense(Module):
             else None
         )
         self.activation = activation
+        # Mixed precision: cast operands (typically to bfloat16 for the
+        # MXU) while keeping parameters and accumulation in `dtype`.
+        self.compute_dtype = (
+            None if compute_dtype is None else jnp.dtype(compute_dtype)
+        )
         self.name = name or "dense"
 
     def __call__(self, x: Tensor) -> Tensor:
-        y = jnp.matmul(x, self.kernel, preferred_element_type=x.dtype)
+        if self.compute_dtype is not None:
+            y = jnp.matmul(
+                x.astype(self.compute_dtype),
+                self.kernel.astype(self.compute_dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(self.kernel.dtype)
+        else:
+            y = jnp.matmul(x, self.kernel, preferred_element_type=x.dtype)
         if self.bias is not None:
             y = y + self.bias
         if self.activation is not None:
@@ -68,6 +81,7 @@ class MLP(Module):
         activation: Callable[[Tensor], Tensor] = jax.nn.relu,
         final_activation: Callable[[Tensor], Tensor] | None = None,
         dtype: Any = jnp.float32,
+        compute_dtype: Any = None,
         name: str | None = None,
     ) -> None:
         keys = jax.random.split(key, len(units))
@@ -76,7 +90,10 @@ class MLP(Module):
         for i, (u, k) in enumerate(zip(units, keys)):
             act = activation if i < len(units) - 1 else final_activation
             layers.append(
-                Dense(prev, u, key=k, activation=act, dtype=dtype)
+                Dense(
+                    prev, u, key=k, activation=act, dtype=dtype,
+                    compute_dtype=compute_dtype,
+                )
             )
             prev = u
         self.layers = layers

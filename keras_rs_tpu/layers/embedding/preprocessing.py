@@ -25,6 +25,7 @@ capacity U, F features and local batch Bl (S_l = F * Bl local segments):
 from __future__ import annotations
 
 import dataclasses
+import warnings
 from typing import Mapping, Sequence
 
 import numpy as np
@@ -159,6 +160,14 @@ def preprocess_stack(
         raise ValueError(
             f"Bucket capacity exceeded: {dropped} ids dropped (capacity "
             f"{C}). Raise max_ids_per_partition or enable dropping."
+        )
+    if dropped:
+        warnings.warn(
+            f"Stack {stack.name!r}: dropped {dropped} ids (bucket capacity "
+            f"{C}, max observed "
+            f"{int(np.bincount(bucket, minlength=1).max())}). Raise "
+            "max_ids_per_partition.",
+            stacklevel=2,
         )
     counts = np.bincount(bucket, minlength=D * D)
     max_ids = int(counts.max()) if len(counts) else 0

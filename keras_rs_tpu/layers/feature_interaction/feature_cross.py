@@ -34,6 +34,7 @@ class FeatureCross(Module):
         kernel_initializer: Any = "glorot_uniform",
         bias_initializer: Any = "zeros",
         dtype: Any = jnp.float32,
+        compute_dtype: Any = None,
         name: str | None = None,
     ) -> None:
         if diag_scale is not None and diag_scale < 0.0:
@@ -58,7 +59,19 @@ class FeatureCross(Module):
         self.projection_dim = projection_dim
         self.diag_scale = diag_scale
         self.pre_activation = pre_activation
+        self.compute_dtype = (
+            None if compute_dtype is None else jnp.dtype(compute_dtype)
+        )
         self.name = name or "feature_cross"
+
+    def _matmul(self, x: Tensor, w: Tensor) -> Tensor:
+        if self.compute_dtype is not None:
+            return jnp.matmul(
+                x.astype(self.compute_dtype),
+                w.astype(self.compute_dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(w.dtype)
+        return jnp.matmul(x, w, preferred_element_type=x.dtype)
 
     def __call__(self, x0: Tensor, x: Tensor | None = None) -> Tensor:
         if x is None:
@@ -70,10 +83,8 @@ class FeatureCross(Module):
             )
         out = x
         if self.down_proj_kernel is not None:
-            out = jnp.matmul(
-                out, self.down_proj_kernel, preferred_element_type=out.dtype
-            )
-        out = jnp.matmul(out, self.kernel, preferred_element_type=out.dtype)
+            out = self._matmul(out, self.down_proj_kernel)
+        out = self._matmul(out, self.kernel)
         if self.bias is not None:
             out = out + self.bias
         if self.pre_activation is not None:

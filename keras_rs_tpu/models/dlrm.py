@@ -46,6 +46,7 @@ class DLRMConfig:
         learning_rate: float = 0.0034,
         global_batch_size: int = 256,
         table_placement: str = "auto",
+        compute_dtype: str | None = "bfloat16",
     ):
         self.vocab_sizes = list(vocab_sizes)
         self.multi_hot_sizes = list(
@@ -65,6 +66,7 @@ class DLRMConfig:
         self.learning_rate = learning_rate
         self.global_batch_size = global_batch_size
         self.table_placement = table_placement
+        self.compute_dtype = compute_dtype
 
 
 class DLRMDCNv2(Module):
@@ -140,7 +142,8 @@ class DLRMDCNv2(Module):
         }
 
         self.bottom_mlp = MLP(
-            cfg.num_dense_features, cfg.bottom_mlp, key=k_bot, dtype=dtype
+            cfg.num_dense_features, cfg.bottom_mlp, key=k_bot, dtype=dtype,
+            compute_dtype=cfg.compute_dtype,
         )
         num_feats = 1 + len(cfg.vocab_sizes)  # dense block + categoricals
         concat_dim = cfg.bottom_mlp[-1] + cfg.embedding_dim * len(
@@ -154,11 +157,13 @@ class DLRMDCNv2(Module):
                 key=kk,
                 projection_dim=cfg.dcn_projection_dim,
                 dtype=dtype,
+                compute_dtype=cfg.compute_dtype,
             )
             for kk in dcn_keys
         ]
         self.top_mlp = MLP(
-            concat_dim, cfg.top_mlp, key=k_top, dtype=dtype
+            concat_dim, cfg.top_mlp, key=k_top, dtype=dtype,
+            compute_dtype=cfg.compute_dtype,
         )
         self.config = cfg
 
