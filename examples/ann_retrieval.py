@@ -1,0 +1,62 @@
+"""Approximate vs exact retrieval: KMeans IVF vs brute force.
+
+Parity with examples/scann.py in the reference (ScaNN tree-AH vs brute
+force latency/recall comparison) — rebuilt TPU-native as a k-means
+inverted-file index (keras_rs_tpu/layers/retrieval/kmeans_retrieval.py).
+
+Run: python examples/ann_retrieval.py
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from keras_rs_tpu.layers.retrieval.kmeans_retrieval import KMeansRetrieval
+from keras_rs_tpu.layers.retrieval.retrieval import BruteForceRetrieval
+
+
+def main(num_candidates=100_000, dim=64, num_queries=256, k=10):
+    rng = np.random.default_rng(0)
+    candidates = rng.normal(size=(num_candidates, dim)).astype(np.float32)
+    queries = rng.normal(size=(num_queries, dim)).astype(np.float32)
+    cj, qj = jnp.asarray(candidates), jnp.asarray(queries)
+
+    bf = BruteForceRetrieval(cj, k=k)
+    bf_call = jax.jit(lambda q: bf(q))
+    _, exact = jax.block_until_ready(bf_call(qj))
+    t0 = time.perf_counter()
+    for _ in range(10):
+        _, exact = bf_call(qj)
+    jax.block_until_ready(exact)
+    bf_time = (time.perf_counter() - t0) / 10
+
+    ann = KMeansRetrieval(
+        cj, k=k, num_clusters=316, num_probes=16, kmeans_iterations=5
+    )
+    ann_call = jax.jit(lambda q: ann(q))
+    _, approx = jax.block_until_ready(ann_call(qj))
+    t0 = time.perf_counter()
+    for _ in range(10):
+        _, approx = ann_call(qj)
+    jax.block_until_ready(approx)
+    ann_time = (time.perf_counter() - t0) / 10
+
+    exact_np, approx_np = np.asarray(exact), np.asarray(approx)
+    recall = np.mean(
+        [
+            len(set(a) & set(e)) / k
+            for a, e in zip(approx_np, exact_np)
+        ]
+    )
+    print(
+        f"brute force: {bf_time * 1e3:.2f} ms | "
+        f"kmeans-ivf: {ann_time * 1e3:.2f} ms "
+        f"({bf_time / ann_time:.1f}x) | recall@{k}: {recall:.3f}"
+    )
+    return recall, bf_time / ann_time
+
+
+if __name__ == "__main__":
+    main()

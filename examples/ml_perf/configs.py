@@ -1,0 +1,79 @@
+"""MLPerf DLRM-DCNv2 experiment configs.
+
+Parity with examples/ml_perf/configs/*.py in the reference: the full
+26-feature Criteo vocabulary (4x40M, 3M, 590k, ...), embedding_dim 128,
+Adagrad lr 0.0034, global batch 16384, max_ids 8192 / max_unique 4096,
+embedding_threshold 21000 (configs/v6e_8.py:15-190, 202-205).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+# Criteo 26 categorical vocab sizes (reference configs/v6e_8.py:15-172).
+CRITEO_VOCAB_SIZES = [
+    40_000_000, 39_060, 17_295, 7_424, 20_265, 3, 7_122, 1_543, 63,
+    40_000_000, 3_067_956, 405_282, 10, 2_209, 11_938, 155, 4, 976, 14,
+    40_000_000, 40_000_000, 40_000_000, 590_152, 12_973, 108, 36,
+]
+CRITEO_MULTI_HOT_SIZES = [
+    3, 2, 1, 2, 6, 1, 1, 1, 1, 7, 3, 8, 1, 6, 9, 5, 1, 1, 1, 12, 100,
+    27, 10, 3, 1, 1,
+]
+
+
+@dataclasses.dataclass
+class ExperimentConfig:
+    name: str
+    vocab_sizes: list
+    multi_hot_sizes: list
+    embedding_dim: int = 128
+    bottom_mlp: tuple = (512, 256, 128)
+    top_mlp: tuple = (1024, 1024, 512, 256, 1)
+    num_dcn_layers: int = 3
+    dcn_projection_dim: int = 512
+    embedding_threshold: int = 21_000
+    max_ids_per_partition: int = 8192
+    max_unique_ids_per_partition: int = 4096
+    learning_rate: float = 0.0034
+    global_batch_size: int = 16_384
+    num_steps: int = 28_000
+    file_pattern: str | None = None  # None -> dummy data
+    num_loader_threads: int = 4
+    do_profile: bool = False
+    profile_dir: str = "/tmp/keras_rs_tpu_profile"
+    checkpoint_dir: str | None = None
+    checkpoint_every: int = 1000
+
+
+def full_criteo(name="full_criteo", **overrides) -> ExperimentConfig:
+    return ExperimentConfig(
+        name=name,
+        vocab_sizes=list(CRITEO_VOCAB_SIZES),
+        multi_hot_sizes=list(CRITEO_MULTI_HOT_SIZES),
+        **overrides,
+    )
+
+
+def smoke_test(**overrides) -> ExperimentConfig:
+    """Tiny config for CI / single-chip smoke runs."""
+    defaults = dict(
+        vocab_sizes=[100_000, 50_000, 1000, 500, 60_000, 30],
+        multi_hot_sizes=[3, 2, 1, 1, 4, 1],
+        embedding_dim=32,
+        bottom_mlp=(64, 32),
+        top_mlp=(128, 64, 1),
+        dcn_projection_dim=32,
+        max_ids_per_partition=1024,
+        max_unique_ids_per_partition=1024,
+        global_batch_size=512,
+        num_steps=20,
+    )
+    defaults.update(overrides)
+    return ExperimentConfig(name="smoke_test", **defaults)
+
+
+CONFIGS = {
+    "full_criteo": full_criteo,
+    "smoke_test": smoke_test,
+}

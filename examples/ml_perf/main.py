@@ -1,0 +1,169 @@
+"""MLPerf DLRM-DCNv2 training entry point.
+
+Parity with examples/ml_perf/main.py in the reference: mesh setup,
+small/large feature split inside DLRMDCNv2, threaded host preprocessing
+(ThreadedDataLoader), BCE + AUC/accuracy eval, optional profiler trace,
+checkpointing. Multi-host: each process feeds its shard of the global
+batch (CriteoDataset process_index/process_count + identical shuffle).
+
+Run:
+  python -m examples.ml_perf.main --config smoke_test
+  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      python -m examples.ml_perf.main --config smoke_test
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import time
+
+import jax
+import numpy as np
+import optax
+
+from examples.ml_perf.configs import CONFIGS
+from keras_rs_tpu import training
+from keras_rs_tpu.data.criteo import CriteoDataset
+from keras_rs_tpu.data.loader import ThreadedDataLoader
+from keras_rs_tpu.models.dlrm import DLRMConfig, DLRMDCNv2, bce_loss
+from keras_rs_tpu.parallel import mesh as mesh_lib
+from keras_rs_tpu.parallel import multihost
+
+logging.basicConfig(level=logging.INFO, force=True)
+logger = logging.getLogger("ml_perf")
+
+
+def binary_auc(labels: np.ndarray, scores: np.ndarray) -> float:
+    """Rank-based AUC (equivalent to the Wilcoxon statistic)."""
+    order = np.argsort(scores)
+    ranks = np.empty(len(scores))
+    ranks[order] = np.arange(1, len(scores) + 1)
+    pos = labels > 0.5
+    n_pos, n_neg = pos.sum(), (~pos).sum()
+    if n_pos == 0 or n_neg == 0:
+        return 0.5
+    return float(
+        (ranks[pos].sum() - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
+    )
+
+
+def main(config_name: str = "smoke_test", **overrides) -> dict:
+    multihost.initialize()
+    cfg = CONFIGS[config_name](**overrides)
+    mesh = mesh_lib.create_mesh()
+    logger.info(
+        "config=%s devices=%d processes=%d",
+        cfg.name, mesh.devices.size, jax.process_count(),
+    )
+
+    model_cfg = DLRMConfig(
+        vocab_sizes=cfg.vocab_sizes,
+        multi_hot_sizes=cfg.multi_hot_sizes,
+        embedding_dim=cfg.embedding_dim,
+        bottom_mlp=cfg.bottom_mlp,
+        top_mlp=cfg.top_mlp,
+        num_dcn_layers=cfg.num_dcn_layers,
+        dcn_projection_dim=cfg.dcn_projection_dim,
+        embedding_threshold=cfg.embedding_threshold,
+        max_ids_per_partition=cfg.max_ids_per_partition,
+        max_unique_ids_per_partition=cfg.max_unique_ids_per_partition,
+        learning_rate=cfg.learning_rate,
+        global_batch_size=cfg.global_batch_size,
+    )
+    model = DLRMDCNv2(model_cfg, key=jax.random.key(0), mesh=mesh)
+
+    dataset = CriteoDataset(
+        cfg.file_pattern,
+        global_batch_size=cfg.global_batch_size,
+        vocab_sizes=cfg.vocab_sizes,
+        multi_hot_sizes=cfg.multi_hot_sizes,
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
+    )
+
+    def raw_batches():
+        if cfg.file_pattern:
+            yield from dataset.batches(epochs=1000)
+        else:
+            yield from dataset.dummy_batches(cfg.num_steps)
+
+    def preprocess(batch):
+        pre = model.preprocess(batch, training=True)
+        for k in list(pre):
+            if k in ("dense", "label") or k.startswith("cat_"):
+                pre[k] = mesh_lib.put_batch(mesh, np.asarray(pre[k]))
+        return pre
+
+    # Threaded host preprocessing (main.py:35-105 parity).
+    loader = ThreadedDataLoader(
+        raw_batches(), preprocess, num_workers=cfg.num_loader_threads
+    )
+
+    optimizer = optax.adagrad(cfg.learning_rate)
+    state = training.create_train_state(model, optimizer)
+    step_fn = training.make_train_step(bce_loss, optimizer, donate=False)
+
+    ckpt = (
+        training.CheckpointManager(cfg.checkpoint_dir)
+        if cfg.checkpoint_dir
+        else None
+    )
+
+    t0 = time.time()
+    losses = []
+    for step in range(cfg.num_steps):
+        if cfg.do_profile and step == 10:
+            jax.profiler.start_trace(cfg.profile_dir)
+        batch = next(loader)
+        state, loss = step_fn(state, batch)
+        losses.append(loss)
+        if cfg.do_profile and step == 20:
+            jax.block_until_ready(loss)
+            jax.profiler.stop_trace()
+        if ckpt and (step + 1) % cfg.checkpoint_every == 0:
+            ckpt.save(step + 1, state)
+        if (step + 1) % 100 == 0:
+            logger.info(
+                "step %d loss %.5f (%.1f ex/s)",
+                step + 1,
+                float(loss),
+                cfg.global_batch_size * (step + 1) / (time.time() - t0),
+            )
+    jax.block_until_ready(losses[-1])
+    loader.stop()
+    elapsed = time.time() - t0
+    throughput = cfg.global_batch_size * cfg.num_steps / elapsed
+
+    # Eval: BCE accuracy + AUC on a held-out dummy batch.
+    eval_batch = next(iter(dataset.dummy_batches(1, seed=777)))
+    pre = model.preprocess(eval_batch)
+    logits = np.asarray(jax.jit(lambda m, b: m(b))(state.model, pre))
+    labels = np.asarray(eval_batch["label"])
+    acc = float(np.mean((logits > 0) == (labels > 0.5)))
+    auc = binary_auc(labels, 1 / (1 + np.exp(-logits)))
+    if ckpt:
+        ckpt.wait_until_finished()
+
+    results = {
+        "loss": float(losses[-1]),
+        "throughput": throughput,
+        "accuracy": acc,
+        "auc": auc,
+    }
+    logger.info("results: %s", results)
+    return results
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", default="smoke_test")
+    parser.add_argument("--num_steps", type=int, default=None)
+    parser.add_argument("--profile", action="store_true")
+    args = parser.parse_args()
+    overrides = {}
+    if args.num_steps:
+        overrides["num_steps"] = args.num_steps
+    if args.profile:
+        overrides["do_profile"] = True
+    main(args.config, **overrides)

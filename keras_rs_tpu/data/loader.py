@@ -46,6 +46,28 @@ class ThreadedDataLoader:
         for w in self._workers:
             w.start()
 
+    def stop(self) -> None:
+        """Stops the workers (no more batches are pulled from the source).
+
+        Call when training ends before the source is exhausted (e.g. an
+        infinite stream); otherwise daemon workers keep preprocessing
+        through interpreter shutdown.
+        """
+        with self._source_lock:
+            self._exhausted = True
+        # Unblock workers stuck on a full queue.
+        while True:
+            try:
+                self._out.get_nowait()
+            except queue.Empty:
+                break
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.stop()
+
     def _next_raw(self):
         with self._source_lock:
             if self._exhausted:
