@@ -63,6 +63,7 @@ def preprocess_stack(
     weights: Mapping[str, np.ndarray] | None = None,
     *,
     allow_drop: bool = True,
+    backend: str = "auto",
 ) -> tuple[CooBatch, InputStats]:
     """Builds the CooBatch for one stack from per-feature id matrices.
 
@@ -70,7 +71,33 @@ def preprocess_stack(
     [0, vocab) are ignored. `weights[feature_name]`: float array of the
     same shape; zeros mark padding. Ragged data is represented as padded
     ids + 0/1 weights (SURVEY.md §7 hard part (e)).
+
+    `backend`: "auto" uses the native C++ engine when available
+    (native/coo_preprocess.cc), "numpy" forces the reference
+    implementation below, "native" requires the C++ engine.
     """
+    if backend in ("auto", "native"):
+        from keras_rs_tpu.layers.embedding import native as native_lib
+
+        if native_lib.available():
+            coo, stats = native_lib.preprocess_stack_native(
+                stack, inputs, weights
+            )
+            if stats.dropped_ids:
+                if not allow_drop:
+                    raise ValueError(
+                        f"Bucket capacity exceeded: {stats.dropped_ids} "
+                        f"ids dropped (capacity "
+                        f"{stack.max_ids_per_partition})."
+                    )
+                warnings.warn(
+                    f"Stack {stack.name!r}: dropped {stats.dropped_ids} "
+                    "ids. Raise max_ids_per_partition.",
+                    stacklevel=2,
+                )
+            return coo, stats
+        if backend == "native":
+            raise RuntimeError("Native preprocessing unavailable.")
     D = stack.num_shards
     C = stack.max_ids_per_partition
     U = stack.max_unique_ids_per_shard
