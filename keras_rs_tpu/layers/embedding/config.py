@@ -47,8 +47,16 @@ class TableConfig:
     placement: str = "auto"
     max_ids_per_partition: int = 256
     max_unique_ids_per_partition: int = 256
+    # Storage dtype of the table: "float32" or "bfloat16" (bf16 halves HBM
+    # footprint; updates use stochastic rounding, see ops/quant.py).
+    dtype: str = "float32"
 
     def __post_init__(self) -> None:
+        if self.dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"Invalid table dtype {self.dtype!r}; use float32 or "
+                "bfloat16."
+            )
         if self.combiner not in COMBINERS:
             raise ValueError(
                 f"Invalid combiner {self.combiner!r}; use one of {COMBINERS}."
@@ -82,6 +90,7 @@ class TableConfig:
             "placement": self.placement,
             "max_ids_per_partition": self.max_ids_per_partition,
             "max_unique_ids_per_partition": self.max_unique_ids_per_partition,
+            "dtype": self.dtype,
         }
 
     @classmethod

@@ -136,9 +136,14 @@ class DistributedEmbedding(Module):
             keys = jax.random.split(key, len(self.stacks) + 1)
             key = keys[0]
             for stack, k in zip(self.stacks, keys[1:]):
+                stack_dtype = (
+                    jnp.bfloat16
+                    if stack.dtype == "bfloat16"
+                    else dtype
+                )
                 table = jax.jit(
-                    lambda kk, s=stack: init_stack_table(
-                        s, self._table_configs, kk, dtype
+                    lambda kk, s=stack, sd=stack_dtype: init_stack_table(
+                        s, self._table_configs, kk, sd
                     ),
                     out_shardings=mesh_lib.table_sharding(mesh, axis_name),
                 )(k)

@@ -33,14 +33,17 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from keras_rs_tpu.layers.embedding.stacking import TableStack
+from keras_rs_tpu.ops.quant import cast_rows_for_storage
 
 
 def init_stack_state(
     stack: TableStack, table: jax.Array
 ) -> dict[str, Any]:
     """Bundles a stacked table with its optimizer slots and step counter."""
+    # Optimizer slots stay f32 even for bf16 tables (accumulators need
+    # the precision).
     slots = {
-        name: stack.optimizer.init_slot(name, table.shape, table.dtype)
+        name: stack.optimizer.init_slot(name, table.shape, jnp.float32)
         for name in stack.optimizer.slot_names
     }
     return {
@@ -94,7 +97,7 @@ def stack_lookup(
         recv_gains = jax.lax.all_to_all(s_gains, axis, 0, 0, tiled=True)
 
         rows = jnp.take(table, recv_slots.reshape(-1), axis=0)
-        contrib = rows * recv_gains.reshape(-1, 1)
+        contrib = rows.astype(jnp.float32) * recv_gains.reshape(-1, 1)
         src_offsets = (
             jnp.arange(D, dtype=jnp.int32)[:, None] * S_l + recv_segs
         )
@@ -139,13 +142,26 @@ def stack_lookup(
             ge, e_unique, num_segments=U
         )  # [U, dim]
 
-        rows = jnp.take(table, u_slots, axis=0)
+        rows = jnp.take(table, u_slots, axis=0).astype(jnp.float32)
         slot_rows = {
             k: jnp.take(v, u_slots, axis=0) for k, v in slots.items()
         }
         new_rows, new_slot_rows = optimizer.apply(
             rows, row_grads, slot_rows, step
         )
+        if table.dtype == jnp.bfloat16:
+            # Stochastic rounding: deterministic key from (step, shard).
+            sr_key = jax.random.fold_in(
+                jax.random.fold_in(
+                    jax.random.key(0x5EED), step.astype(jnp.uint32)
+                ),
+                jax.lax.axis_index(axis),
+            )
+            new_rows = cast_rows_for_storage(
+                new_rows, jnp.bfloat16, sr_key
+            )
+        else:
+            new_rows = new_rows.astype(table.dtype)
         new_table = table.at[u_slots].set(new_rows)
         new_slots = {
             k: slots[k].at[u_slots].set(new_slot_rows[k])

@@ -77,6 +77,7 @@ class TableStack:
     optimizer: opt_lib.EmbeddingOptimizer
     max_ids_per_partition: int  # capacity C of each (src, dst) bucket
     max_unique_ids_per_shard: int  # capacity U of per-shard unique list
+    dtype: str = "float32"  # storage dtype (see TableConfig.dtype)
 
     @property
     def sink_slot(self) -> int:
@@ -147,7 +148,10 @@ def build_stacks(
     elif stacking == "auto":
         by_key: dict[str, list[TableConfig]] = {}
         for t in tables:
-            key = f"{_optimizer_key(t)}|dim{_round_up(t.embedding_dim, 8)}"
+            key = (
+                f"{_optimizer_key(t)}|dim{_round_up(t.embedding_dim, 8)}"
+                f"|{t.dtype}"
+            )
             by_key.setdefault(key, []).append(t)
         groups = list(by_key.values())
     else:
@@ -165,6 +169,11 @@ def build_stacks(
         if len(opts) != 1:
             raise ValueError(
                 "All tables in a stack must share the same optimizer; got "
+                f"{[t.name for t in group]}."
+            )
+        if len({t.dtype for t in group}) != 1:
+            raise ValueError(
+                "All tables in a stack must share the same dtype; got "
                 f"{[t.name for t in group]}."
             )
         specs: list[StackedTableSpec] = []
@@ -228,6 +237,7 @@ def build_stacks(
                     max(t.max_unique_ids_per_partition for t in group)
                     * num_shards
                 ),
+                dtype=group[0].dtype,
             )
         )
     return stacks
