@@ -1,0 +1,236 @@
+"""Device-side (jittable) COO preprocessing for the sharded embedding path.
+
+The reference performs COO preprocessing on the HOST on every batch
+(jax-tpu-embedding `preprocess_sparse_dense_matmul_input`, called at
+keras_rs/src/layers/embedding/jax/embedding_utils.py:144-217) and needs a
+4-thread `ThreadedDataLoader` just to keep the TPU fed
+(examples/ml_perf/main.py:35-105). This module moves the whole transform
+onto the TPU as pure XLA (stable multi-key sorts + segment sums + static
+scatters), so it can be jitted INTO the train step:
+
+  raw int ids [B, L] --jit--> CooBatch arrays --lookup kernel--> acts
+
+Benefits over the host path:
+  * no host CPU bottleneck, no worker threads, no numpy<->device copies
+    of six preprocessed arrays per stack per step — only the raw ids move;
+  * the preprocess fuses into the step's XLA program and overlaps with
+    unrelated compute;
+  * identical semantics to preprocessing.preprocess_stack (same bucket
+    layout, same stable entry order, same dedup/sink contracts) —
+    verified bit-exactly in tests/test_device_preprocessing.py.
+
+Static-shape notes: every output has the same [D, D, C] / [D, U] / ...
+shapes as the host path; capacity overflow drops entries exactly like the
+host path, with observed stats returned as device scalars (`DeviceStats`)
+instead of a host-side warning (parity with `update_stats`,
+jax/distributed_embedding.py:658-719).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from keras_rs_tpu.layers.embedding.stacking import TableStack
+
+_INT_MAX = jnp.iinfo(jnp.int32).max
+_COMBINER_CODE = {"sum": 0, "mean": 1, "sqrtn": 2}
+
+
+class DeviceStats(NamedTuple):
+    """Observed input stats as device scalars (jit-friendly)."""
+
+    max_ids_per_bucket: jax.Array  # i32 []
+    max_unique_per_shard: jax.Array  # i32 []
+    dropped_ids: jax.Array  # i32 []
+
+
+def preprocess_stack_device(
+    stack: TableStack,
+    inputs: Mapping[str, jax.Array],
+    weights: Mapping[str, jax.Array] | None = None,
+) -> tuple[dict[str, jax.Array], DeviceStats]:
+    """Jittable equivalent of preprocessing.preprocess_stack.
+
+    `inputs[feature_name]`: int array (B,) or (B, L); ids outside
+    [0, vocab) or with zero weight are ignored. Returns the same six
+    arrays as the host `CooBatch` (as jnp arrays) plus `DeviceStats`.
+    """
+    D = stack.num_shards
+    C = stack.max_ids_per_partition
+    U = stack.max_unique_ids_per_shard
+    B = stack.batch_size
+    Bl = B // D
+    S_l = stack.num_features * Bl
+    sink = stack.sink_slot
+
+    # --- flatten all features into one static entry list -------------------
+    ds, ss, slots, segs, gains, valids = [], [], [], [], [], []
+    combiner_code = jnp.zeros((S_l,), jnp.int32)
+
+    for fspec in stack.features:
+        ids = jnp.asarray(inputs[fspec.name])
+        if ids.ndim == 1:
+            ids = ids[:, None]
+        if ids.shape[0] != B:
+            raise ValueError(
+                f"Feature {fspec.name}: expected global batch {B}, got "
+                f"{ids.shape[0]}."
+            )
+        w = None if weights is None else weights.get(fspec.name)
+        if w is None:
+            w = jnp.ones(ids.shape, jnp.float32)
+        else:
+            w = jnp.asarray(w, jnp.float32)
+            if w.ndim == 1:
+                w = w[:, None]
+
+        tspec = stack.table_spec(fspec.table_name)
+        L = ids.shape[1]
+        b = jnp.broadcast_to(
+            jnp.arange(B, dtype=jnp.int32)[:, None], (B, L)
+        ).reshape(-1)
+        r = ids.reshape(-1).astype(jnp.int32)
+        g = w.reshape(-1)
+        valid = (g != 0) & (r >= 0) & (r < tspec.vocabulary_size)
+        r_safe = jnp.where(valid, r, 0)
+
+        ds.append(b // Bl)
+        ss.append(r_safe % D)
+        slots.append(tspec.local_offset + r_safe // D)
+        segs.append(fspec.feature_index * Bl + (b % Bl))
+        gains.append(g)
+        valids.append(valid)
+
+        lo = fspec.feature_index * Bl
+        combiner_code = combiner_code.at[lo : lo + Bl].set(
+            _COMBINER_CODE[tspec.combiner]
+        )
+
+    d = jnp.concatenate(ds)
+    s = jnp.concatenate(ss)
+    slot = jnp.concatenate(slots)
+    seg = jnp.concatenate(segs)
+    gain = jnp.concatenate(gains)
+    valid = jnp.concatenate(valids)
+    N = d.shape[0]
+
+    gain = jnp.where(valid, gain, 0.0)
+
+    # --- combiner divisors (per source device, per local segment) ----------
+    div_idx = jnp.where(valid, d * S_l + seg, D * S_l)
+    sum_g = jax.ops.segment_sum(gain, div_idx, num_segments=D * S_l + 1)
+    sum_g2 = jax.ops.segment_sum(
+        gain * gain, div_idx, num_segments=D * S_l + 1
+    )
+    sum_g = sum_g[: D * S_l].reshape(D, S_l)
+    sum_g2 = sum_g2[: D * S_l].reshape(D, S_l)
+    code = combiner_code[None, :]
+    divisors = jnp.where(
+        code == 0,
+        1.0,
+        jnp.where(code == 1, sum_g, jnp.sqrt(sum_g2)),
+    )
+    divisors = jnp.where(divisors == 0, 1.0, divisors).astype(jnp.float32)
+
+    # --- bucket by (src device, dst shard); stable order by segment --------
+    # Matches the host path's np.lexsort((seg, s, d)) + original order for
+    # full ties (jax.lax.sort is stable).
+    bucket = jnp.where(valid, d * D + s, D * D).astype(jnp.int32)
+    bucket_s, seg_s, slot_s, gain_s = jax.lax.sort(
+        (bucket, seg, slot, gain), num_keys=2, is_stable=True
+    )
+    starts = jnp.searchsorted(
+        bucket_s, jnp.arange(D * D, dtype=jnp.int32)
+    ).astype(jnp.int32)
+    rank = jnp.arange(N, dtype=jnp.int32) - starts[
+        jnp.clip(bucket_s, 0, D * D - 1)
+    ]
+    within = (bucket_s < D * D) & (rank < C)
+
+    flat_idx = jnp.where(within, bucket_s * C + rank, D * D * C)
+    send_slots = (
+        jnp.full((D * D * C,), sink, jnp.int32)
+        .at[flat_idx]
+        .set(slot_s, mode="drop")
+        .reshape(D, D, C)
+    )
+    send_segs = (
+        jnp.zeros((D * D * C,), jnp.int32)
+        .at[flat_idx]
+        .set(seg_s, mode="drop")
+        .reshape(D, D, C)
+    )
+    send_gains = (
+        jnp.zeros((D * D * C,), jnp.float32)
+        .at[flat_idx]
+        .set(gain_s, mode="drop")
+        .reshape(D, D, C)
+    )
+
+    # Bucket fill stats.
+    counts = jax.ops.segment_sum(
+        jnp.ones((N,), jnp.int32), bucket, num_segments=D * D + 1
+    )[: D * D]
+    max_ids = jnp.max(counts) if D * D else jnp.zeros((), jnp.int32)
+    dropped = jnp.sum(jnp.maximum(counts - C, 0))
+
+    # --- per-shard dedup of received slots (for the backward pass) ---------
+    # Received layout on shard e: concat over sources d of bucket (d, e).
+    recv_slots = jnp.transpose(send_slots, (1, 0, 2)).reshape(D, D * C)
+    recv_gains = jnp.transpose(send_gains, (1, 0, 2)).reshape(D, D * C)
+    real = recv_gains != 0
+
+    key = jnp.where(real, recv_slots, _INT_MAX)
+    pos = jnp.broadcast_to(
+        jnp.arange(D * C, dtype=jnp.int32)[None, :], (D, D * C)
+    )
+    key_s, pos_s = jax.lax.sort(
+        (key, pos), num_keys=1, is_stable=True, dimension=1
+    )
+    real_s = key_s != _INT_MAX
+    prev = jnp.pad(key_s[:, :-1], ((0, 0), (1, 0)), constant_values=-1)
+    new_unique = real_s & (key_s != prev)
+    uidx = jnp.cumsum(new_unique, axis=1, dtype=jnp.int32) - 1
+    n_unique = jnp.sum(new_unique, axis=1)  # [D]
+
+    row = jnp.broadcast_to(
+        jnp.arange(D, dtype=jnp.int32)[:, None], (D, D * C)
+    )
+    # unique_slots[e, u] = u-th distinct slot (ascending), sink padded;
+    # uniques beyond U-1 overflow to the sink slot (host-path parity).
+    u_write = jnp.where(new_unique & (uidx < U - 1), uidx, U)
+    unique_slots = (
+        jnp.full((D * U,), sink, jnp.int32)
+        .at[(row * U + u_write).reshape(-1)]
+        .set(key_s.reshape(-1), mode="drop")
+        .reshape(D, U)
+    )
+    inv = jnp.minimum(uidx, U - 1)
+    e_write = jnp.where(real_s, row * (D * C) + pos_s, D * D * C)
+    entry_unique = (
+        jnp.full((D * D * C,), U - 1, jnp.int32)
+        .at[e_write.reshape(-1)]
+        .set(inv.reshape(-1), mode="drop")
+        .reshape(D, D * C)
+    )
+
+    max_unique = jnp.max(n_unique)
+    dropped_total = dropped + jnp.maximum(max_unique - (U - 1), 0)
+
+    coo = {
+        "send_slots": send_slots,
+        "send_segs": send_segs,
+        "send_gains": send_gains,
+        "unique_slots": unique_slots,
+        "entry_unique": entry_unique,
+        "divisors": divisors,
+    }
+    stats = DeviceStats(
+        max_ids_per_bucket=max_ids.astype(jnp.int32),
+        max_unique_per_shard=max_unique.astype(jnp.int32),
+        dropped_ids=dropped_total.astype(jnp.int32),
+    )
+    return coo, stats

@@ -36,6 +36,10 @@ from keras_rs_tpu.layers.embedding.lookup import (
     split_activations,
     stack_lookup,
 )
+from keras_rs_tpu.layers.embedding.device_preprocessing import (
+    DeviceStats,
+    preprocess_stack_device,
+)
 from keras_rs_tpu.layers.embedding.preprocessing import (
     InputStats,
     preprocess_stack,
@@ -239,6 +243,64 @@ class DistributedEmbedding(Module):
 
         return {PREPROCESSED_KEY: np.zeros(()), "sharded": sharded,
                 "dense": dense}
+
+    def preprocess_on_device(
+        self,
+        inputs: Any,
+        weights: Any = None,
+        return_stats: bool = False,
+    ) -> Any:
+        """Jittable preprocessing: the whole COO transform runs on-device.
+
+        Unlike `preprocess` (host-side, reference parity), this compiles
+        into the surrounding XLA program, so raw int id tensors can be fed
+        straight into a jitted train step — no host bottleneck, no worker
+        threads (the reference needs a 4-thread loader just to keep up,
+        examples/ml_perf/main.py:35-105). Bit-exact with the host path
+        (tests/test_device_preprocessing.py).
+
+        Returns the same marker-wrapped structure as `preprocess`; with
+        `return_stats=True` also returns `{stack_name: DeviceStats}` for
+        capacity monitoring (update_stats parity) as device scalars.
+        """
+        in_leaves = self._match_features(inputs)
+        w_leaves = (
+            self._match_features(weights)
+            if weights is not None
+            else {fc.name: None for fc in self._feature_leaves}
+        )
+
+        sharded = {}
+        stats: dict[str, DeviceStats] = {}
+        for stack in self.stacks:
+            coo, st = preprocess_stack_device(
+                stack,
+                {f.name: in_leaves[f.name] for f in stack.features},
+                {
+                    f.name: w_leaves[f.name]
+                    for f in stack.features
+                    if w_leaves[f.name] is not None
+                },
+            )
+            sharded[stack.name] = coo
+            stats[stack.name] = st
+
+        dense = {}
+        for fc in self._feature_leaves:
+            if fc.name in self._dense_feature_to_table:
+                ids = jnp.asarray(in_leaves[fc.name])
+                w = w_leaves[fc.name]
+                w = None if w is None else jnp.asarray(w)
+                dense[fc.name] = (ids, w)
+
+        pre = {
+            PREPROCESSED_KEY: np.zeros(()),
+            "sharded": sharded,
+            "dense": dense,
+        }
+        if return_stats:
+            return pre, stats
+        return pre
 
     def _match_features(self, structure: Any) -> dict[str, Any]:
         leaves = jax.tree_util.tree_leaves(

@@ -46,6 +46,7 @@ class DLRMConfig:
         learning_rate: float = 0.0034,
         global_batch_size: int = 256,
         table_placement: str = "auto",
+        table_dtype: str = "float32",
         compute_dtype: str | None = "bfloat16",
     ):
         self.vocab_sizes = list(vocab_sizes)
@@ -66,6 +67,7 @@ class DLRMConfig:
         self.learning_rate = learning_rate
         self.global_batch_size = global_batch_size
         self.table_placement = table_placement
+        self.table_dtype = table_dtype
         self.compute_dtype = compute_dtype
 
 
@@ -103,6 +105,7 @@ class DLRMDCNv2(Module):
                 optimizer=Adagrad(learning_rate=cfg.learning_rate),
                 combiner="sum",
                 placement=cfg.table_placement,
+                dtype=cfg.table_dtype,
                 max_ids_per_partition=cfg.max_ids_per_partition,
                 max_unique_ids_per_partition=(
                     cfg.max_unique_ids_per_partition
@@ -176,6 +179,24 @@ class DLRMDCNv2(Module):
             }
             out["large_pre"] = self.embedding_layer.preprocess(
                 large, training=training
+            )
+            for i in self.large_idx:
+                del out[f"cat_{i}"]
+        return out
+
+    def preprocess_on_device(self, batch: dict) -> dict:
+        """Jittable preprocessing: raw ids -> COO, entirely on-device.
+
+        Compiles into the train step (call inside jit / the loss fn), so
+        the host never touches the per-batch COO transform.
+        """
+        out = dict(batch)
+        if self.embedding_layer is not None:
+            large = {
+                f"cat_{i}": batch[f"cat_{i}"] for i in self.large_idx
+            }
+            out["large_pre"] = self.embedding_layer.preprocess_on_device(
+                large
             )
             for i in self.large_idx:
                 del out[f"cat_{i}"]
