@@ -93,15 +93,22 @@ class BruteForceRetrieval(Retrieval):
     `update_candidates` after deserialization.
     """
 
+    #: Above this candidate count, `__call__` switches to the streaming
+    #: chunked top-k (ops/topk.py) so the [B, N] score matrix never
+    #: materializes in HBM. Exactness is unaffected.
+    DIRECT_MAX_CANDIDATES = 131072
+
     def __init__(
         self,
         candidate_embeddings: Tensor | None = None,
         candidate_ids: Tensor | None = None,
         k: int = 10,
         return_scores: bool = True,
+        chunk_size: int | str | None = "auto",
         name: str | None = None,
     ) -> None:
         super().__init__(k=k, return_scores=return_scores, name=name)
+        self.chunk_size = chunk_size
         self.candidate_embeddings = None
         self.candidate_ids = None
         if candidate_embeddings is None:
@@ -136,8 +143,28 @@ class BruteForceRetrieval(Retrieval):
             raise ValueError(
                 "No candidates. Call `update_candidates` first."
             )
-        scores = self.compute_score(inputs, self.candidate_embeddings)
-        top_scores, top_idx = jax.lax.top_k(scores, self.k)
+        n = self.candidate_embeddings.shape[0]
+        use_chunked = (
+            self.chunk_size is not None
+            and self.chunk_size != 0
+            and (
+                n > self.DIRECT_MAX_CANDIDATES
+                if self.chunk_size == "auto"
+                else True
+            )
+        )
+        if use_chunked:
+            from keras_rs_tpu.ops.topk import chunked_topk_mips
+
+            chunk = (
+                65536 if self.chunk_size == "auto" else int(self.chunk_size)
+            )
+            top_scores, top_idx = chunked_topk_mips(
+                inputs, self.candidate_embeddings, self.k, chunk
+            )
+        else:
+            scores = self.compute_score(inputs, self.candidate_embeddings)
+            top_scores, top_idx = jax.lax.top_k(scores, self.k)
         if self.candidate_ids is not None:
             top_idx = jnp.take(self.candidate_ids, top_idx, axis=0)
         if self.return_scores:
