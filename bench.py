@@ -82,15 +82,53 @@ def build(placement: str, mesh, batch_size: int, vocab: int, dim: int):
     return state, step, batch
 
 
-def time_block(state, step, pre, iters: int):
-    """One timed block; returns (elapsed_s, final_state)."""
+def make_scan_runner(step, iters: int):
+    """Jit of `iters` chained steps. HONEST timing on the tunneled chip:
+    `block_until_ready` returns before execution completes here, so a
+    python loop over dispatches measures dispatch, not compute. A
+    lax.scan forces serial execution via the state dependency; a host
+    read of the final loss forces true completion (see BASELINE.md,
+    "honest timing protocol")."""
     import jax
 
+    raw = getattr(step, "__wrapped__", step)
+
+    @jax.jit
+    def run(state, pre):
+        def body(s, _):
+            s2, loss = raw(s, pre)
+            return s2, loss
+
+        s_final, losses = jax.lax.scan(body, state, None, length=iters)
+        return s_final, losses[-1]
+
+    return run
+
+
+def time_block(run, state, pre, host_rt: float):
+    """One timed block; returns (elapsed_s, final_state)."""
     t0 = time.perf_counter()
-    for _ in range(iters):
-        state, loss = step(state, pre)
-    jax.block_until_ready(loss)
-    return time.perf_counter() - t0, state
+    state, loss = run(state, pre)
+    _ = float(loss)  # host read = true completion
+    return max(time.perf_counter() - t0 - host_rt, 1e-9), state
+
+
+def measure_host_rt() -> float:
+    """Round-trip cost of dispatch + host read of a trivial program."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def noop(x):
+        return x * 1.0000001
+
+    x = jnp.zeros(())
+    _ = float(noop(x))
+    t0 = time.perf_counter()
+    for _ in range(5):
+        x = noop(x)
+        _ = float(x)
+    return (time.perf_counter() - t0) / 5
 
 
 def main() -> None:
@@ -104,25 +142,26 @@ def main() -> None:
 
     mesh = mesh_lib.create_mesh()
 
-    # Build both pipelines, then INTERLEAVE timed blocks (A/B/A/B...) and
-    # take medians: the remote-chip link has session-scale throughput
-    # drift that serial measurement would fold into the ratio.
-    state_a, step_a, pre_a = build("sharded", mesh, batch_size, vocab, dim)
-    state_b, step_b, pre_b = build(
-        "default_device", mesh, batch_size, vocab, dim
-    )
-    _, state_a = time_block(state_a, step_a, pre_a, 3)  # warmup/compile
-    _, state_b = time_block(state_b, step_b, pre_b, 3)
+    # Measure each pipeline serially (both resident would exceed HBM:
+    # each carries ~6 GB of tables+slots at the bench shape). True
+    # compute time under the scan protocol is stable across sessions
+    # (naive measured 33.4/33.3/33.2 ms on different days), unlike the
+    # dispatch-fiction timings interleaving used to guard against.
+    host_rt = measure_host_rt()
 
-    ours_ts, naive_ts = [], []
-    for _ in range(blocks):
-        el, state_a = time_block(state_a, step_a, pre_a, iters)
-        ours_ts.append(el)
-        el, state_b = time_block(state_b, step_b, pre_b, iters)
-        naive_ts.append(el)
+    def measure(placement):
+        state, step, pre = build(placement, mesh, batch_size, vocab, dim)
+        run = make_scan_runner(step, iters)
+        _, state = time_block(run, state, pre, host_rt)  # warm/compile
+        ts = []
+        for _ in range(blocks):
+            el, state = time_block(run, state, pre, host_rt)
+            ts.append(el)
+        del state
+        return batch_size * iters / float(np.median(ts))
 
-    ours = batch_size * iters / float(np.median(ours_ts))
-    naive = batch_size * iters / float(np.median(naive_ts))
+    ours = measure("sharded")
+    naive = measure("default_device")
 
     print(
         json.dumps(
