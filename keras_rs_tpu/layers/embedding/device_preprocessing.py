@@ -150,25 +150,44 @@ def preprocess_stack_device(
     ]
     within = (bucket_s < D * D) & (rank < C)
 
-    flat_idx = jnp.where(within, bucket_s * C + rank, D * D * C)
-    send_slots = (
-        jnp.full((D * D * C,), sink, jnp.int32)
-        .at[flat_idx]
-        .set(slot_s, mode="drop")
-        .reshape(D, D, C)
-    )
-    send_segs = (
-        jnp.zeros((D * D * C,), jnp.int32)
-        .at[flat_idx]
-        .set(seg_s, mode="drop")
-        .reshape(D, D, C)
-    )
-    send_gains = (
-        jnp.zeros((D * D * C,), jnp.float32)
-        .at[flat_idx]
-        .set(gain_s, mode="drop")
-        .reshape(D, D, C)
-    )
+    if D == 1:
+        # Single-shard fast path: one bucket, and the sort put its valid
+        # entries first — the "scatter" is a slice + mask (XLA int
+        # scatters cost ~190 us each at 40960 entries; this is free).
+        m = min(N, C)
+        ok = bucket_s[:m] == 0
+
+        def fill(x_s, pad_value, dtype):
+            part = jnp.where(ok, x_s[:m], pad_value)
+            if m < C:
+                part = jnp.pad(
+                    part, (0, C - m), constant_values=pad_value
+                )
+            return part.reshape(1, 1, C).astype(dtype)
+
+        send_slots = fill(slot_s, sink, jnp.int32)
+        send_segs = fill(seg_s, 0, jnp.int32)
+        send_gains = fill(gain_s, 0.0, jnp.float32)
+    else:
+        flat_idx = jnp.where(within, bucket_s * C + rank, D * D * C)
+        send_slots = (
+            jnp.full((D * D * C,), sink, jnp.int32)
+            .at[flat_idx]
+            .set(slot_s, mode="drop")
+            .reshape(D, D, C)
+        )
+        send_segs = (
+            jnp.zeros((D * D * C,), jnp.int32)
+            .at[flat_idx]
+            .set(seg_s, mode="drop")
+            .reshape(D, D, C)
+        )
+        send_gains = (
+            jnp.zeros((D * D * C,), jnp.float32)
+            .at[flat_idx]
+            .set(gain_s, mode="drop")
+            .reshape(D, D, C)
+        )
 
     # Bucket fill stats.
     counts = jax.ops.segment_sum(

@@ -151,3 +151,38 @@ def test_no_weights_and_1d_inputs():
     np.testing.assert_array_equal(dev["send_slots"], host.send_slots)
     np.testing.assert_array_equal(dev["send_segs"], host.send_segs)
     np.testing.assert_allclose(dev["divisors"], host.divisors, rtol=1e-6)
+
+
+def test_single_shard_fast_path_matches_host():
+    # D == 1 takes the slice-based fast path; must stay bit-exact.
+    stack = _make_stack(num_shards=1, batch=24, max_ids=40, max_unique=32)
+    inputs, weights = _rand_inputs(stack, seed=7)
+    host, hstats = preprocessing.preprocess_stack(
+        stack, inputs, weights, backend="numpy"
+    )
+    dev, dstats = preprocess_stack_device(
+        stack,
+        {k: jnp.asarray(v) for k, v in inputs.items()},
+        {k: jnp.asarray(v) for k, v in weights.items()},
+    )
+    for k in ("send_slots", "send_segs", "unique_slots", "entry_unique"):
+        np.testing.assert_array_equal(dev[k], getattr(host, k))
+    np.testing.assert_allclose(dev["send_gains"], host.send_gains, rtol=1e-6)
+    np.testing.assert_allclose(dev["divisors"], host.divisors, rtol=1e-6)
+    assert int(dstats.max_ids_per_bucket) == hstats.max_ids_per_bucket
+
+
+def test_single_shard_capacity_exceeds_entries():
+    # C > total entries: the fast path pads with sink/zeros.
+    stack = _make_stack(num_shards=1, batch=8, max_ids=4096, max_unique=64)
+    inputs, weights = _rand_inputs(stack, seed=8)
+    host, _ = preprocessing.preprocess_stack(
+        stack, inputs, weights, backend="numpy"
+    )
+    dev, _ = preprocess_stack_device(
+        stack,
+        {k: jnp.asarray(v) for k, v in inputs.items()},
+        {k: jnp.asarray(v) for k, v in weights.items()},
+    )
+    np.testing.assert_array_equal(dev["send_slots"], host.send_slots)
+    np.testing.assert_allclose(dev["send_gains"], host.send_gains, rtol=1e-6)
