@@ -1,0 +1,25 @@
+#!/usr/bin/env bash
+# MLPerf DLRM-DCNv2 launcher (parity: keras-rs examples/ml_perf/run.sh,
+# which provisions TPU VMs via gcloud and runs main.py on --worker=all).
+#
+# Single host / single chip:
+#   ./run.sh smoke_test
+#   ./run.sh v6e_8 --num_steps=1000
+#
+# Multi-host pod slice (run ON EVERY WORKER, e.g. via
+# `gcloud compute tpus tpu-vm ssh $TPU --worker=all --command=...`):
+#   JAX discovers the slice topology from the TPU runtime; the dataloader
+#   shards batches per process with identical seeded shuffles
+#   (keras_rs_tpu/data/criteo.py), and stats/checkpoints sync over DCN
+#   (keras_rs_tpu/parallel/multihost.py). No extra flags needed.
+#
+# Optional env:
+#   KRT_PROFILE_DIR=/tmp/trace   capture a jax.profiler trace
+#   KRT_CHECKPOINT_DIR=...       Orbax checkpoint/resume directory
+set -euo pipefail
+
+CONFIG="${1:-smoke_test}"
+shift || true
+
+cd "$(dirname "$0")/../.."
+exec python -m examples.ml_perf.main --config "${CONFIG}" "$@"

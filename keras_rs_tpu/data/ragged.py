@@ -1,0 +1,72 @@
+"""Ragged integer inputs without tf.RaggedTensor.
+
+The reference accepts tf.RaggedTensor feature inputs and densifies them
+with synthesized 0/1 weights before embedding
+(keras_rs/src/layers/embedding/base_distributed_embedding.py:31-92). The
+TPU-native equivalent standardizes on the (values, row_lengths) pair and
+converts to the padded-ids + weights form every kernel here consumes
+(SURVEY.md §7 hard part (e)): static shapes, no host-side raggedness past
+the input boundary.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+
+class Ragged(NamedTuple):
+    """A batch of variable-length id lists.
+
+    values: 1-D int array, all rows concatenated.
+    row_lengths: 1-D int array [B], row i owns the next row_lengths[i]
+        values.
+    """
+
+    values: np.ndarray
+    row_lengths: np.ndarray
+
+    @property
+    def batch_size(self) -> int:
+        return len(self.row_lengths)
+
+    @classmethod
+    def from_lists(cls, rows) -> "Ragged":
+        """Builds from a list of per-row id lists."""
+        row_lengths = np.asarray([len(r) for r in rows], np.int32)
+        values = (
+            np.concatenate([np.asarray(r, np.int64) for r in rows])
+            if len(rows) and row_lengths.sum()
+            else np.zeros((0,), np.int64)
+        )
+        return cls(values=values, row_lengths=row_lengths)
+
+    def to_padded(
+        self, max_length: int | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Returns (ids [B, L], weights [B, L]) with 0/1 padding weights.
+
+        Rows longer than `max_length` are truncated (keep-first, like the
+        reference's densification); shorter rows are padded with id 0 and
+        weight 0.
+        """
+        lengths = np.asarray(self.row_lengths, np.int64)
+        B = len(lengths)
+        L = int(lengths.max()) if B and lengths.size else 0
+        if max_length is not None:
+            L = min(L, int(max_length)) if L else int(max_length)
+        L = max(L, 1)
+        starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+        values = np.asarray(self.values)
+        col = np.arange(L, dtype=np.int64)[None, :]
+        mask = col < np.minimum(lengths, L)[:, None]
+        src = np.minimum(
+            starts[:, None] + col, max(len(values) - 1, 0)
+        )
+        gathered = (
+            values[src] if len(values) else np.zeros((B, L), np.int64)
+        )
+        ids = np.where(mask, gathered, 0).astype(np.int64)
+        weights = mask.astype(np.float32)
+        return ids, weights

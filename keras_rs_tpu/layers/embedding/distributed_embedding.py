@@ -195,6 +195,7 @@ class DistributedEmbedding(Module):
             if weights is not None
             else {fc.name: None for fc in self._feature_leaves}
         )
+        self._densify_ragged(in_leaves, w_leaves)
 
         sharded = {}
         for stack in self.stacks:
@@ -269,6 +270,7 @@ class DistributedEmbedding(Module):
             if weights is not None
             else {fc.name: None for fc in self._feature_leaves}
         )
+        self._densify_ragged(in_leaves, w_leaves)
 
         sharded = {}
         stats: dict[str, DeviceStats] = {}
@@ -303,10 +305,12 @@ class DistributedEmbedding(Module):
         return pre
 
     def _match_features(self, structure: Any) -> dict[str, Any]:
+        from keras_rs_tpu.data.ragged import Ragged
+
         leaves = jax.tree_util.tree_leaves(
             structure,
             is_leaf=lambda x: x is None
-            or isinstance(x, (np.ndarray, jax.Array)),
+            or isinstance(x, (np.ndarray, jax.Array, Ragged)),
         )
         if len(leaves) != len(self._feature_leaves):
             raise ValueError(
@@ -317,6 +321,132 @@ class DistributedEmbedding(Module):
             fc.name: leaf
             for fc, leaf in zip(self._feature_leaves, leaves)
         }
+
+    @staticmethod
+    def _densify_ragged(
+        in_leaves: dict[str, Any], w_leaves: dict[str, Any]
+    ) -> None:
+        """Ragged inputs -> padded ids + synthesized weights, in place.
+
+        Parity with the reference's ragged densification
+        (base_distributed_embedding.py:31-92): 0/1 validity weights,
+        multiplied into any explicit per-id weights.
+        """
+        from keras_rs_tpu.data.ragged import Ragged
+
+        for name, leaf in list(in_leaves.items()):
+            if isinstance(leaf, Ragged):
+                ids, mask = leaf.to_padded()
+                w = w_leaves.get(name)
+                if w is not None:
+                    mask = mask * np.asarray(w, np.float32)
+                in_leaves[name] = ids
+                w_leaves[name] = mask
+
+    # ------------------------------------------------------------------
+    def has_sharded_tables(self) -> bool:
+        """Whether any table resolved to the mesh-sharded placement.
+
+        Parity: `DistributedEmbedding.has_sparsecores()`
+        (base_distributed_embedding.py:940-988) — there the question is
+        "is SparseCore hardware driving lookups"; here it is "are lookups
+        running through the sharded stack engine".
+        """
+        return bool(self.stacks)
+
+    def update_stats(self) -> dict[str, InputStats]:
+        """Cross-host max of observed preprocessing stats, with capacity
+        warnings.
+
+        Parity: the reference's `update_stats` path allgathers input
+        stats over DCN and re-preprocesses when limits grew
+        (jax/distributed_embedding.py:658-719). Here: call after some
+        `preprocess(..., training=True)` steps (or collect DeviceStats
+        from `preprocess_on_device`), then `rebuild_capacities()` if
+        anything exceeded its configured limit.
+        """
+        from keras_rs_tpu.parallel import multihost
+
+        synced: dict[str, InputStats] = {}
+        for stack in self.stacks:
+            st = self._stats.stats.get(stack.name)
+            if st is None:
+                continue
+            agg = multihost.sync_max_stats(
+                {
+                    "max_ids_per_bucket": st.max_ids_per_bucket,
+                    "max_unique_per_shard": st.max_unique_per_shard,
+                    "dropped_ids": st.dropped_ids,
+                }
+            )
+            synced[stack.name] = InputStats(**agg)
+            if (
+                agg["max_ids_per_bucket"] > stack.max_ids_per_partition
+                or agg["max_unique_per_shard"]
+                > stack.max_unique_ids_per_shard - 1
+                or agg["dropped_ids"]
+            ):
+                import warnings
+
+                warnings.warn(
+                    f"Stack {stack.name!r}: observed stats exceed "
+                    f"capacities (ids {agg['max_ids_per_bucket']}/"
+                    f"{stack.max_ids_per_partition}, unique "
+                    f"{agg['max_unique_per_shard']}/"
+                    f"{stack.max_unique_ids_per_shard - 1}, dropped "
+                    f"{agg['dropped_ids']}). Call rebuild_capacities().",
+                    stacklevel=2,
+                )
+        return synced
+
+    def rebuild_capacities(self, margin: float = 1.25) -> bool:
+        """Grows per-stack COO capacities to observed cross-host maxima.
+
+        Capacities are static shapes of the preprocessed arrays only —
+        tables, optimizer slots, and the step counter carry over
+        untouched. Returns True if anything changed (then re-preprocess
+        upcoming batches; old preprocessed batches remain valid but jit
+        will recompile for the new shapes).
+        """
+        import dataclasses
+        import math
+
+        synced = self.update_stats()
+        changed = False
+        new_stacks = []
+        for stack in self.stacks:
+            st = synced.get(stack.name)
+            if st is None:
+                new_stacks.append(stack)
+                continue
+            C = max(
+                stack.max_ids_per_partition,
+                int(math.ceil(st.max_ids_per_bucket * margin)),
+            )
+            U = max(
+                stack.max_unique_ids_per_shard,
+                int(math.ceil(st.max_unique_per_shard * margin)) + 1,
+            )
+            if st.dropped_ids:
+                # Entries were dropped BEFORE dedup, so the observed
+                # unique count is an underestimate. A shard receives at
+                # most D * C entries — size U for the worst case so one
+                # rebuild converges (the reference instead loops
+                # re-preprocessing, jax/distributed_embedding.py:658-719).
+                U = max(U, stack.num_shards * C + 1)
+            if (C, U) != (
+                stack.max_ids_per_partition,
+                stack.max_unique_ids_per_shard,
+            ):
+                changed = True
+                stack = dataclasses.replace(
+                    stack,
+                    max_ids_per_partition=C,
+                    max_unique_ids_per_shard=U,
+                )
+            new_stacks.append(stack)
+        self.stacks = tuple(new_stacks)
+        return changed
 
     # ------------------------------------------------------------------
     def __call__(

@@ -13,6 +13,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from keras_rs_tpu.core import initializers
 from keras_rs_tpu.core.module import Module
@@ -70,8 +71,18 @@ class EmbedReduce(Module):
         self.name = name or "embed_reduce"
 
     def __call__(
-        self, inputs: Tensor, weights: Tensor | None = None
+        self, inputs: Any, weights: Tensor | None = None
     ) -> Tensor:
+        from keras_rs_tpu.data.ragged import Ragged
+
+        if isinstance(inputs, Ragged):
+            # Densify with synthesized 0/1 weights (parity with the
+            # reference's ragged handling, base_distributed_embedding
+            # .py:31-92); explicit weights multiply into the mask.
+            ids, mask = inputs.to_padded()
+            if weights is not None:
+                mask = mask * np.asarray(weights, np.float32)
+            inputs, weights = ids, mask
         inputs = jnp.asarray(inputs)
         if inputs.ndim not in (1, 2):
             raise ValueError(
