@@ -91,7 +91,7 @@ class DistributedEmbedding(Module):
         *,
         key: jax.Array | None = None,
         mesh: Mesh | None = None,
-        axis_name: str = mesh_lib.DATA_AXIS,
+        axis_name: str | tuple[str, ...] = mesh_lib.DATA_AXIS,
         table_stacking: Any = "auto",
         dtype: Any = jnp.float32,
     ) -> None:
@@ -105,7 +105,7 @@ class DistributedEmbedding(Module):
             feature_configs
         )
 
-        num_shards = mesh.shape[axis_name]
+        num_shards = mesh_lib.axis_size(mesh, axis_name)
 
         # Placement resolution (parity with TableConfig.placement "auto"):
         # sharded when the mesh has >1 device, else default_device.
@@ -539,7 +539,11 @@ class DistributedEmbedding(Module):
         return {
             "tables": [t.get_config() for t in tables],
             "features": feature_specs,
-            "axis_name": self.axis_name,
+            "axis_name": (
+                list(self.axis_name)
+                if isinstance(self.axis_name, tuple)
+                else self.axis_name
+            ),
         }
 
     @classmethod
@@ -556,4 +560,7 @@ class DistributedEmbedding(Module):
             )
             for f in config["features"]
         ]
-        return cls(fcs, axis_name=config.get("axis_name", "data"))
+        axis_name = config.get("axis_name", "data")
+        if isinstance(axis_name, list):
+            axis_name = tuple(axis_name)
+        return cls(fcs, axis_name=axis_name)
