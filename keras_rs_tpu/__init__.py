@@ -10,6 +10,15 @@ from keras_rs_tpu import core
 from keras_rs_tpu import losses
 from keras_rs_tpu import metrics
 from keras_rs_tpu import ops
+from keras_rs_tpu import serving
 from keras_rs_tpu.version import __version__, version
 
-__all__ = ["core", "losses", "metrics", "ops", "version", "__version__"]
+__all__ = [
+    "core",
+    "losses",
+    "metrics",
+    "ops",
+    "serving",
+    "version",
+    "__version__",
+]

@@ -79,3 +79,64 @@ def test_ivf_custom_ids_and_jit():
     # Query = candidate i: with full probing its own id must be in top-3.
     for i in range(4):
         assert ids[i] in np.asarray(top_ids)[i]
+
+
+def test_int8_quantized_with_reorder_recall():
+    import numpy as np
+    import jax, jax.numpy as jnp
+    from keras_rs_tpu.layers.retrieval.kmeans_retrieval import KMeansRetrieval
+    from keras_rs_tpu.layers.retrieval.retrieval import BruteForceRetrieval
+
+    key = jax.random.key(0)
+    kc, kq = jax.random.split(key)
+    N, D, B, k = 4000, 32, 64, 10
+    cands = jax.random.normal(kc, (N, D))
+    queries = jax.random.normal(kq, (B, D))
+    exact = BruteForceRetrieval(cands, k=k)
+    _, exact_ids = exact(queries)
+
+    ivf_q = KMeansRetrieval(
+        cands, k=k, num_clusters=40, num_probes=12,
+        quantize="int8", reorder_k=4 * k, seed=0,
+    )
+    ivf_f = KMeansRetrieval(
+        cands, k=k, num_clusters=40, num_probes=12, seed=0,
+    )
+    # index is actually int8
+    assert ivf_q.cluster_candidates.dtype == jnp.int8
+
+    def recall(ids):
+        return np.mean([
+            len(set(np.asarray(ids[i])) & set(np.asarray(exact_ids[i])))
+            / k
+            for i in range(B)
+        ])
+
+    _, ids_q = ivf_q(queries)
+    _, ids_f = ivf_f(queries)
+    r_q, r_f = recall(ids_q), recall(ids_f)
+    # int8 + exact reorder must not lose measurable recall vs f32 IVF
+    # (both are bounded by the probe routing on unclustered data).
+    assert r_q >= r_f - 0.02, (r_q, r_f)
+    assert r_f >= 0.6, r_f
+
+    # reorder returns EXACT scores for the hits
+    scores_q, ids_q2 = ivf_q(queries)
+    full = jnp.matmul(queries, cands.T)
+    got = np.asarray(scores_q[0])
+    want = np.asarray(full[0])[np.asarray(ids_q2[0])]
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_int8_serialization_config():
+    import jax
+    from keras_rs_tpu.layers.retrieval.kmeans_retrieval import KMeansRetrieval
+
+    layer = KMeansRetrieval(
+        jax.random.normal(jax.random.key(0), (100, 8)),
+        k=5, quantize="int8", reorder_k=20,
+    )
+    cfg = layer.get_config()
+    assert cfg["quantize"] == "int8" and cfg["reorder_k"] == 20
+    rebuilt = KMeansRetrieval(**{**cfg, "name": None})
+    assert rebuilt.quantize == "int8"
