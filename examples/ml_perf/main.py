@@ -135,13 +135,32 @@ def main(config_name: str = "smoke_test", **overrides) -> dict:
     elapsed = time.time() - t0
     throughput = cfg.global_batch_size * cfg.num_steps / elapsed
 
-    # Eval: BCE accuracy + AUC on a held-out dummy batch.
-    eval_batch = next(iter(dataset.dummy_batches(1, seed=777)))
-    pre = model.preprocess(eval_batch)
-    logits = np.asarray(jax.jit(lambda m, b: m(b))(state.model, pre))
-    labels = np.asarray(eval_batch["label"])
-    acc = float(np.mean((logits > 0) == (labels > 0.5)))
-    auc = binary_auc(labels, 1 / (1 + np.exp(-logits)))
+    # Eval: streaming BinaryAccuracy + AUC (library metrics; the
+    # confusion-state accumulation runs inside the jitted eval step, so
+    # only the tiny metric state crosses to the host; host-side
+    # `binary_auc` kept above as an exact rank-based cross-check).
+    from keras_rs_tpu.metrics import AUC, BinaryAccuracy
+
+    auc_m, acc_m = AUC(num_thresholds=512), BinaryAccuracy()
+
+    @jax.jit
+    def eval_step(m, b, auc_state, acc_state):
+        logits = m(b)
+        probs = jax.nn.sigmoid(logits)
+        labels = b["label"]
+        return (
+            auc_m.update(auc_state, labels, probs),
+            acc_m.update(acc_state, labels, probs),
+        )
+
+    auc_state, acc_state = auc_m.init_state(), acc_m.init_state()
+    for eval_batch in dataset.dummy_batches(4, seed=777):
+        pre = model.preprocess(eval_batch)
+        auc_state, acc_state = eval_step(
+            state.model, pre, auc_state, acc_state
+        )
+    acc = float(acc_m.result_from_state(acc_state))
+    auc = float(auc_m.result_from_state(auc_state))
     if ckpt:
         ckpt.wait_until_finished()
 

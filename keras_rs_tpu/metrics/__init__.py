@@ -1,3 +1,8 @@
+from keras_rs_tpu.metrics.classification import (
+    AUC,
+    BinaryAccuracy,
+    ConfusionState,
+)
 from keras_rs_tpu.metrics.ranking_metric import MeanState, RankingMetric
 from keras_rs_tpu.metrics.ranking_metrics import (
     DCG,
@@ -9,6 +14,9 @@ from keras_rs_tpu.metrics.ranking_metrics import (
 )
 
 __all__ = [
+    "AUC",
+    "BinaryAccuracy",
+    "ConfusionState",
     "DCG",
     "NDCG",
     "MeanAveragePrecision",

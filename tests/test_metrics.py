@@ -253,3 +253,66 @@ def test_serialization_roundtrip():
 def test_invalid_k():
     with pytest.raises(ValueError):
         metrics.NDCG(k=0)
+
+
+def test_auc_matches_sklearn_style_oracle():
+    import numpy as np
+    from keras_rs_tpu.metrics import AUC
+
+    rng = np.random.default_rng(0)
+    labels = rng.integers(0, 2, 2000).astype(np.float32)
+    # Correlated scores -> AUC well above 0.5.
+    scores = 1 / (1 + np.exp(-(labels * 1.5 + rng.normal(size=2000))))
+
+    # Exact rank-based oracle (Wilcoxon).
+    order = np.argsort(scores)
+    ranks = np.empty_like(order, dtype=np.float64)
+    ranks[order] = np.arange(1, len(scores) + 1)
+    n_pos, n_neg = labels.sum(), (1 - labels).sum()
+    exact = (ranks[labels == 1].sum() - n_pos * (n_pos + 1) / 2) / (
+        n_pos * n_neg
+    )
+
+    m = AUC(num_thresholds=512)
+    # Streaming in chunks must equal one-shot.
+    for i in range(0, 2000, 500):
+        m.update_state(labels[i : i + 500], scores[i : i + 500])
+    got = float(m.result())
+    assert abs(got - exact) < 0.01, (got, exact)
+
+    m2 = AUC(num_thresholds=512)
+    m2.update_state(labels, scores)
+    assert abs(float(m2.result()) - got) < 1e-6
+
+
+def test_auc_jit_functional_state():
+    import jax, jax.numpy as jnp
+    import numpy as np
+    from keras_rs_tpu.metrics import AUC
+
+    m = AUC(num_thresholds=64)
+
+    @jax.jit
+    def eval_step(state, labels, scores):
+        return m.update(state, labels, scores)
+
+    rng = np.random.default_rng(1)
+    labels = jnp.asarray(rng.integers(0, 2, 256).astype(np.float32))
+    scores = jnp.asarray(rng.random(256).astype(np.float32))
+    state = m.init_state()
+    state = eval_step(state, labels, scores)
+    state = eval_step(state, labels, scores)
+    r = float(m.result_from_state(state))
+    assert 0.0 <= r <= 1.0
+
+
+def test_binary_accuracy():
+    import numpy as np
+    from keras_rs_tpu.metrics import BinaryAccuracy
+
+    m = BinaryAccuracy()
+    m.update_state([1, 0, 1, 0], [0.9, 0.2, 0.4, 0.6])
+    assert abs(float(m.result()) - 0.5) < 1e-6
+    m.update_state([1], [0.8], sample_weight=2.0)
+    # total correct weight 2+2, count 6
+    assert abs(float(m.result()) - 4 / 6) < 1e-6
