@@ -16,41 +16,56 @@ import optax
 
 from keras_rs_tpu import training
 from keras_rs_tpu.core.module import Module
+from keras_rs_tpu.data.feature_engineering import (
+    TextVectorizer,
+    bucketize,
+    hash_cross,
+)
 from keras_rs_tpu.layers import MLP, EmbedReduce
 from keras_rs_tpu.layers.retrieval.retrieval import BruteForceRetrieval
 
-
-def bucketize(x, boundaries):
-    """Feature engineering: discretize a continuous feature."""
-    return np.searchsorted(boundaries, x).astype(np.int32)
+CROSS_BINS = 256
 
 
 class QueryTower(Module):
     def __init__(self, num_users, num_age_buckets, dim, key):
-        k1, k2, k3 = jax.random.split(key, 3)
+        k1, k2, k3, k4 = jax.random.split(key, 4)
         self.user_emb = EmbedReduce(num_users, dim, key=k1)
         self.age_emb = EmbedReduce(num_age_buckets + 1, 8, key=k2)
-        self.mlp = MLP(dim + 8, (64, dim), key=k3)
+        # Crossed feature (user x age bucket), FeatureSpace.cross parity.
+        self.cross_emb = EmbedReduce(CROSS_BINS, 8, key=k4)
+        self.mlp = MLP(dim + 8 + 8, (64, dim), key=k3)
 
-    def __call__(self, user_ids, age_bucket):
+    def __call__(self, user_ids, age_bucket, cross_ids):
         x = jnp.concatenate(
-            [self.user_emb(user_ids), self.age_emb(age_bucket)], axis=-1
+            [
+                self.user_emb(user_ids),
+                self.age_emb(age_bucket),
+                self.cross_emb(cross_ids),
+            ],
+            axis=-1,
         )
         return self.mlp(x)
 
 
 class CandidateTower(Module):
-    def __init__(self, num_items, num_genres, dim, key):
-        k1, k2, k3 = jax.random.split(key, 3)
+    def __init__(self, num_items, num_genres, title_vocab, dim, key):
+        k1, k2, k3, k4 = jax.random.split(key, 4)
         self.item_emb = EmbedReduce(num_items, dim, key=k1)
         self.genre_emb = EmbedReduce(num_genres, 8, key=k2, combiner="mean")
-        self.mlp = MLP(dim + 8, (64, dim), key=k3)
+        # Title text tower (TextVectorization parity): mean of token embs.
+        self.title_emb = EmbedReduce(
+            title_vocab, 8, key=k4, combiner="mean"
+        )
+        self.mlp = MLP(dim + 8 + 8, (64, dim), key=k3)
 
-    def __call__(self, item_ids, genres, genre_weights):
+    def __call__(self, item_ids, genres, genre_weights, title_ids,
+                 title_w):
         x = jnp.concatenate(
             [
                 self.item_emb(item_ids),
                 self.genre_emb(genres, genre_weights),
+                self.title_emb(title_ids, title_w),
             ],
             axis=-1,
         )
@@ -58,10 +73,13 @@ class CandidateTower(Module):
 
 
 class DeepRecommender(Module):
-    def __init__(self, num_users, num_items, num_genres, dim, key):
+    def __init__(self, num_users, num_items, num_genres, title_vocab,
+                 dim, key):
         kq, kc = jax.random.split(key)
         self.query = QueryTower(num_users, 10, dim, kq)
-        self.candidate = CandidateTower(num_items, num_genres, dim, kc)
+        self.candidate = CandidateTower(
+            num_items, num_genres, title_vocab, dim, kc
+        )
 
 
 def main():
@@ -76,15 +94,28 @@ def main():
         0, num_genres, size=(num_items, 3)
     ).astype(np.int32)
     genre_w = np.ones((num_items, 3), np.float32)
+    # Synthetic titles -> TextVectorization-parity token ids.
+    words = ["lion", "space", "war", "love", "king", "night", "return",
+             "city", "last", "dream"]
+    titles = [
+        f"the {words[i % 10]} {words[(i * 3) % 10]}"
+        for i in range(num_items)
+    ]
+    tv = TextVectorizer(max_tokens=4).adapt(titles)
+    title_ids, title_w = tv(titles)
 
     model = DeepRecommender(
-        num_users, num_items, num_genres, dim, jax.random.key(0)
+        num_users, num_items, num_genres, tv.vocabulary_size, dim,
+        jax.random.key(0),
     )
 
     def loss_fn(m, batch):
-        q = m.query(batch["user_id"], batch["age_bucket"])
+        q = m.query(
+            batch["user_id"], batch["age_bucket"], batch["cross"]
+        )
         c = m.candidate(
-            batch["item_id"], batch["genres"], batch["genre_w"]
+            batch["item_id"], batch["genres"], batch["genre_w"],
+            batch["title_ids"], batch["title_w"],
         )
         scores = q @ c.T
         labels = jnp.arange(scores.shape[0])
@@ -103,23 +134,34 @@ def main():
             yield {
                 "user_id": jnp.asarray(user_ids[j]),
                 "age_bucket": jnp.asarray(age_bucket[j]),
+                "cross": jnp.asarray(
+                    hash_cross(
+                        [user_ids[j], age_bucket[j]], CROSS_BINS
+                    )
+                ),
                 "item_id": jnp.asarray(item_ids[j]),
                 "genres": jnp.asarray(item_genres[item_ids[j]]),
                 "genre_w": jnp.asarray(genre_w[item_ids[j]]),
+                "title_ids": jnp.asarray(title_ids[item_ids[j]]),
+                "title_w": jnp.asarray(title_w[item_ids[j]]),
             }
 
-    trainer.fit(data, epochs=6, log_every=0)
+    trainer.fit(data, epochs=12, log_every=0)
 
     # Candidate refresh before eval (deep_recommender.py:669-672 parity).
     all_items = jnp.arange(num_items)
     candidates = trainer.model.candidate(
-        all_items, jnp.asarray(item_genres), jnp.asarray(genre_w)
+        all_items, jnp.asarray(item_genres), jnp.asarray(genre_w),
+        jnp.asarray(title_ids), jnp.asarray(title_w),
     )
     retrieval = BruteForceRetrieval(candidates, k=10)
+    eval_ages = bucketize(np.full(num_users, 40.0), np.linspace(20, 70, 9))
     q = trainer.model.query(
         jnp.arange(num_users),
-        jnp.asarray(bucketize(np.full(num_users, 40.0),
-                              np.linspace(20, 70, 9))),
+        jnp.asarray(eval_ages),
+        jnp.asarray(
+            hash_cross([np.arange(num_users), eval_ages], CROSS_BINS)
+        ),
     )
     _, top = retrieval(q)
     truth = (np.arange(num_users) * 13) % num_items
