@@ -137,8 +137,8 @@ def main(config_name: str = "smoke_test", **overrides) -> dict:
 
     # Eval: streaming BinaryAccuracy + AUC (library metrics; the
     # confusion-state accumulation runs inside the jitted eval step, so
-    # only the tiny metric state crosses to the host; host-side
-    # `binary_auc` kept above as an exact rank-based cross-check).
+    # only the tiny metric state crosses to the host). The host-side
+    # exact rank-based AUC cross-checks the thresholded approximation.
     from keras_rs_tpu.metrics import AUC, BinaryAccuracy
 
     auc_m, acc_m = AUC(num_thresholds=512), BinaryAccuracy()
@@ -154,13 +154,25 @@ def main(config_name: str = "smoke_test", **overrides) -> dict:
         )
 
     auc_state, acc_state = auc_m.init_state(), acc_m.init_state()
+    ck_labels, ck_probs = [], []
     for eval_batch in dataset.dummy_batches(4, seed=777):
         pre = model.preprocess(eval_batch)
         auc_state, acc_state = eval_step(
             state.model, pre, auc_state, acc_state
         )
+        logits = np.asarray(jax.jit(lambda m, b: m(b))(state.model, pre))
+        ck_labels.append(np.asarray(eval_batch["label"]))
+        ck_probs.append(1 / (1 + np.exp(-logits)))
     acc = float(acc_m.result_from_state(acc_state))
     auc = float(auc_m.result_from_state(auc_state))
+    exact = binary_auc(
+        np.concatenate(ck_labels), np.concatenate(ck_probs)
+    )
+    if abs(exact - auc) > 0.01:
+        logger.warning(
+            "streaming AUC %.4f deviates from exact rank AUC %.4f",
+            auc, exact,
+        )
     if ckpt:
         ckpt.wait_until_finished()
 

@@ -20,9 +20,13 @@ _FNV_OFFSET = np.uint64(14695981039346656037)
 
 
 def bucketize(values, boundaries) -> np.ndarray:
-    """Discretization parity: float -> bucket id in [0, len(boundaries)]."""
+    """Discretization parity: float -> bucket id in [0, len(boundaries)].
+
+    `side="right"` matches keras Discretization / tf Bucketize: a value
+    EQUAL to a boundary falls in the upper bucket.
+    """
     return np.searchsorted(
-        np.asarray(boundaries), np.asarray(values)
+        np.asarray(boundaries), np.asarray(values), side="right"
     ).astype(np.int64)
 
 

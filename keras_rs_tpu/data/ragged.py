@@ -47,15 +47,19 @@ class Ragged(NamedTuple):
     ) -> tuple[np.ndarray, np.ndarray]:
         """Returns (ids [B, L], weights [B, L]) with 0/1 padding weights.
 
-        Rows longer than `max_length` are truncated (keep-first, like the
-        reference's densification); shorter rows are padded with id 0 and
-        weight 0.
+        With `max_length`, L == max_length exactly: longer rows truncate
+        (keep-first, like the reference's densification) and shorter
+        batches pad up — a STATIC shape, so jitted consumers do not
+        recompile when the batch's longest row changes. Without it,
+        L = this batch's max row length (convenient, but expect a
+        recompile per distinct L).
         """
         lengths = np.asarray(self.row_lengths, np.int64)
         B = len(lengths)
-        L = int(lengths.max()) if B and lengths.size else 0
         if max_length is not None:
-            L = min(L, int(max_length)) if L else int(max_length)
+            L = int(max_length)
+        else:
+            L = int(lengths.max()) if B and lengths.size else 0
         L = max(L, 1)
         starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
         values = np.asarray(self.values)
@@ -64,9 +68,10 @@ class Ragged(NamedTuple):
         src = np.minimum(
             starts[:, None] + col, max(len(values) - 1, 0)
         )
+        dtype = values.dtype if len(values) else np.int64
         gathered = (
-            values[src] if len(values) else np.zeros((B, L), np.int64)
+            values[src] if len(values) else np.zeros((B, L), dtype)
         )
-        ids = np.where(mask, gathered, 0).astype(np.int64)
+        ids = np.where(mask, gathered, 0).astype(dtype)
         weights = mask.astype(np.float32)
         return ids, weights

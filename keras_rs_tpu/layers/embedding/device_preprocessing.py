@@ -142,8 +142,13 @@ def preprocess_stack_device(
     bucket_s, seg_s, slot_s, gain_s = jax.lax.sort(
         (bucket, seg, slot, gain), num_keys=2, is_stable=True
     )
-    starts = jnp.searchsorted(
-        bucket_s, jnp.arange(D * D, dtype=jnp.int32)
+    # Bucket start offsets in the sorted order, from a counts cumsum
+    # (searchsorted in jit lowers poorly on TPU — see CLAUDE.md).
+    bucket_counts = jax.ops.segment_sum(
+        jnp.ones((N,), jnp.int32), bucket, num_segments=D * D + 1
+    )
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(bucket_counts[: D * D])]
     ).astype(jnp.int32)
     rank = jnp.arange(N, dtype=jnp.int32) - starts[
         jnp.clip(bucket_s, 0, D * D - 1)
@@ -190,9 +195,7 @@ def preprocess_stack_device(
         )
 
     # Bucket fill stats.
-    counts = jax.ops.segment_sum(
-        jnp.ones((N,), jnp.int32), bucket, num_segments=D * D + 1
-    )[: D * D]
+    counts = bucket_counts[: D * D]
     max_ids = jnp.max(counts) if D * D else jnp.zeros((), jnp.int32)
     dropped = jnp.sum(jnp.maximum(counts - C, 0))
 
@@ -220,10 +223,16 @@ def preprocess_stack_device(
     )
     # unique_slots[e, u] = u-th distinct slot (ascending), sink padded;
     # uniques beyond U-1 overflow to the sink slot (host-path parity).
-    u_write = jnp.where(new_unique & (uidx < U - 1), uidx, U)
+    # Flat scatter index; dropped entries (duplicates, sink padding,
+    # overflow past U-1) go to the GLOBAL out-of-bounds index D*U — a
+    # per-row sentinel like row*U + U would land in the NEXT shard's
+    # unique_slots[row+1, 0].
+    u_flat = jnp.where(
+        new_unique & (uidx < U - 1), row * U + uidx, D * U
+    )
     unique_slots = (
         jnp.full((D * U,), sink, jnp.int32)
-        .at[(row * U + u_write).reshape(-1)]
+        .at[u_flat.reshape(-1)]
         .set(key_s.reshape(-1), mode="drop")
         .reshape(D, U)
     )

@@ -338,10 +338,19 @@ class DistributedEmbedding(Module):
             if isinstance(leaf, Ragged):
                 ids, mask = leaf.to_padded()
                 w = w_leaves.get(name)
-                if w is not None:
+                if isinstance(w, Ragged):
+                    # Per-id ragged weights: densify on the SAME grid.
+                    wv, _ = w.to_padded(max_length=ids.shape[1])
+                    mask = mask * np.asarray(wv, np.float32)
+                elif w is not None:
                     mask = mask * np.asarray(w, np.float32)
                 in_leaves[name] = ids
                 w_leaves[name] = mask
+            elif isinstance(w_leaves.get(name), Ragged):
+                raise ValueError(
+                    f"Feature {name!r}: Ragged weights require Ragged "
+                    "ids (shapes must align)."
+                )
 
     # ------------------------------------------------------------------
     def has_sharded_tables(self) -> bool:

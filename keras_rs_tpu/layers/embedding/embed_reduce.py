@@ -80,9 +80,16 @@ class EmbedReduce(Module):
             # reference's ragged handling, base_distributed_embedding
             # .py:31-92); explicit weights multiply into the mask.
             ids, mask = inputs.to_padded()
-            if weights is not None:
+            if isinstance(weights, Ragged):
+                wv, _ = weights.to_padded(max_length=ids.shape[1])
+                mask = mask * np.asarray(wv, np.float32)
+            elif weights is not None:
                 mask = mask * np.asarray(weights, np.float32)
             inputs, weights = ids, mask
+        elif isinstance(weights, Ragged):
+            raise ValueError(
+                "Ragged weights require Ragged ids (shapes must align)."
+            )
         inputs = jnp.asarray(inputs)
         if inputs.ndim not in (1, 2):
             raise ValueError(

@@ -32,13 +32,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from keras_rs_tpu.utils.shape_utils import round_up as _round_up
+
 NEG_INF = -1e9
 BLOCK_Q = 128
 _LANE = 128
 
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 # ---------------------------------------------------------------------------

@@ -37,15 +37,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from keras_rs_tpu.utils.shape_utils import round_up as _round_up
+
 BLOCK_ROWS = 2048  # rows per grid program (int32 SMEM tiling wants >=1024)
 _UNROLL = 8  # DMAs issued back-to-back per group
 _INFLIGHT_GROUPS = 8  # groups in flight (64 outstanding DMAs)
 _NSEM = _UNROLL * _INFLIGHT_GROUPS
 _LANE = 128
 
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 def _scatter_kernel(idx_ref, rows_ref, table_ref, out_ref, sems):

@@ -21,9 +21,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from keras_rs_tpu.utils.shape_utils import round_up as _round_up
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 @functools.partial(jax.jit, static_argnames=("k", "chunk_size"))
@@ -42,7 +41,9 @@ def chunked_topk_mips(
     N = candidates.shape[0]
     if k > N:
         raise ValueError(f"k={k} > num candidates {N}")
-    chunk = min(chunk_size, _round_up(N, 128))
+    # Each chunk must hold at least k candidates for the local top_k.
+    chunk = min(max(chunk_size, k), _round_up(N, 128))
+    chunk = _round_up(chunk, 128)
     num_chunks = -(-N // chunk)
     pad = num_chunks * chunk - N
     if pad:

@@ -33,3 +33,8 @@ def check_rank(
             f"`{tensor_name}` must have rank in {allowed_ranks}, got "
             f"rank {rank}."
         )
+
+
+def round_up(x: int, multiple: int) -> int:
+    """Smallest multiple of `multiple` >= x (tile/padding arithmetic)."""
+    return ((x + multiple - 1) // multiple) * multiple

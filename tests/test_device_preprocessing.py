@@ -186,3 +186,28 @@ def test_single_shard_capacity_exceeds_entries():
     )
     np.testing.assert_array_equal(dev["send_slots"], host.send_slots)
     np.testing.assert_allclose(dev["send_gains"], host.send_gains, rtol=1e-6)
+
+
+def test_empty_shard_dedup_matches_host():
+    # Regression (code review): a shard receiving ZERO ids must get the
+    # host path's sink-filled unique_slots — the old per-row overflow
+    # sentinel corrupted the NEXT shard's unique_slots[e+1, 0].
+    stack = _make_stack(num_shards=2, batch=8, vocabs=(40, 24),
+                        max_ids=32, max_unique=16)
+    B = stack.batch_size
+    inputs = {}
+    for f in stack.features:
+        vocab = stack.table_spec(f.table_name).vocabulary_size
+        ids = (np.arange(B * 4).reshape(B, 4) * 2) % (vocab - vocab % 2)
+        inputs[f.name] = ids  # all EVEN ids -> shard 1 receives nothing
+    host, _ = preprocessing.preprocess_stack(
+        stack, inputs, None, backend="numpy"
+    )
+    dev, _ = preprocess_stack_device(
+        stack, {k: jnp.asarray(v) for k, v in inputs.items()}, None
+    )
+    np.testing.assert_array_equal(dev["unique_slots"], host.unique_slots)
+    np.testing.assert_array_equal(dev["entry_unique"], host.entry_unique)
+    sink = stack.sink_slot
+    # Shard 1 saw nothing: all sink.
+    assert (np.asarray(dev["unique_slots"])[1] == sink).all()

@@ -113,3 +113,39 @@ def test_update_stats_and_rebuild_capacities():
         pre = layer.preprocess({"f": ids}, training=False)
     acts = layer(pre)["f"]
     assert np.isfinite(np.asarray(acts)).all()
+
+
+def test_ragged_weights_with_ragged_ids():
+    # Regression (code review): Ragged weights used to crash/mis-broadcast.
+    key = jax.random.key(3)
+    layer = EmbedReduce(50, 8, key=key, combiner="mean")
+    r = Ragged.from_lists([[3, 7], [9], [1, 2, 4]])
+    w = Ragged(
+        values=np.asarray([0.5, 1.5, 2.0, 1.0, 1.0, 3.0], np.float32),
+        row_lengths=r.row_lengths,
+    )
+    out = layer(r, weights=w)
+    ids, mask = r.to_padded()
+    wv, _ = w.to_padded(max_length=ids.shape[1])
+    want = layer(jnp.asarray(ids), jnp.asarray(mask * wv))
+    np.testing.assert_allclose(out, want)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="Ragged weights"):
+        layer(jnp.asarray(ids), weights=w)
+
+
+def test_ragged_to_padded_static_max_length():
+    r = Ragged.from_lists([[1], [2, 3]])
+    ids, w = r.to_padded(max_length=5)
+    assert ids.shape == (2, 5)  # pads UP to the static width
+    np.testing.assert_array_equal(w.sum(axis=1), [1, 2])
+
+
+def test_bucketize_boundary_goes_to_upper_bucket():
+    from keras_rs_tpu.data.feature_engineering import bucketize
+
+    np.testing.assert_array_equal(
+        bucketize([9.9, 10.0, 49.9, 50.0], [10, 50]), [0, 1, 1, 2]
+    )

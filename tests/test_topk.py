@@ -60,3 +60,15 @@ def test_brute_force_auto_switches_and_matches():
     s2, i2 = chunked(q)
     np.testing.assert_allclose(s1, s2, rtol=1e-6)
     np.testing.assert_array_equal(i1, i2)
+
+
+def test_chunk_smaller_than_k_is_clamped():
+    # Regression (code review): chunk_size < k used to crash in top_k.
+    key = jax.random.key(3)
+    q = jax.random.normal(key, (4, 16))
+    c = jax.random.normal(jax.random.key(4), (300, 16))
+    s, i = chunked_topk_mips(q, c, k=10, chunk_size=8)
+    rs, ri = jax.lax.top_k(
+        jnp.matmul(q, c.T, preferred_element_type=jnp.float32), 10
+    )
+    np.testing.assert_array_equal(i, ri)
