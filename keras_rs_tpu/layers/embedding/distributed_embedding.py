@@ -145,13 +145,25 @@ class DistributedEmbedding(Module):
                     if stack.dtype == "bfloat16"
                     else dtype
                 )
-                table = jax.jit(
-                    lambda kk, s=stack, sd=stack_dtype: init_stack_table(
-                        s, self._table_configs, kk, sd
-                    ),
-                    out_shardings=mesh_lib.table_sharding(mesh, axis_name),
+
+                def make_state(kk, s=stack, sd=stack_dtype):
+                    return init_stack_state(
+                        s, init_stack_table(s, self._table_configs, kk, sd)
+                    )
+
+                # Shard EVERY 2-D state leaf (table + optimizer slots) by
+                # rows; the step counter replicates. Slots sharded at
+                # init matters for multi-chip HBM and for checkpoint
+                # restore (template shardings must be consistent).
+                row_sharding = mesh_lib.table_sharding(mesh, axis_name)
+                rep = mesh_lib.replicated(mesh)
+                out_sh = jax.tree_util.tree_map(
+                    lambda x: row_sharding if x.ndim == 2 else rep,
+                    jax.eval_shape(make_state, k),
+                )
+                states[stack.name] = jax.jit(
+                    make_state, out_shardings=out_sh
                 )(k)
-                states[stack.name] = init_stack_state(stack, table)
         self.state = Overwrite(states)
 
         # --- dense path: one EmbedReduce per unique table -----------------

@@ -25,18 +25,35 @@ def restore_checkpoint(path: str, template: Any) -> Any:
     """Restores into the structure/shardings of `template`.
 
     `template` can be a concrete pytree (its arrays define shape, dtype and
-    sharding) or a pytree of jax.ShapeDtypeStruct.
+    sharding) or a pytree of jax.ShapeDtypeStruct. Leaves without a mesh
+    sharding (e.g. optax scalar counters) restore REPLICATED over the
+    same mesh as the sharded leaves — a mixed-device-set state would be
+    rejected by jit.
     """
+    from jax.sharding import NamedSharding, PartitionSpec
+
     ckpt = ocp.StandardCheckpointer()
-    abstract = jax.tree_util.tree_map(
-        lambda x: jax.ShapeDtypeStruct(
-            x.shape, x.dtype, sharding=getattr(x, "sharding", None)
-        )
-        if hasattr(x, "shape")
-        else x,
-        template,
+
+    # Find the mesh used by any NamedSharding leaf in the template.
+    mesh = None
+    for leaf in jax.tree_util.tree_leaves(template):
+        s = getattr(leaf, "sharding", None)
+        if isinstance(s, NamedSharding):
+            mesh = s.mesh
+            break
+    replicated = (
+        NamedSharding(mesh, PartitionSpec()) if mesh is not None else None
     )
-    return ckpt.restore(path, abstract)
+
+    def to_abstract(x):
+        if not hasattr(x, "shape"):
+            return x
+        s = getattr(x, "sharding", None)
+        if not isinstance(s, NamedSharding):
+            s = replicated
+        return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=s)
+
+    return ckpt.restore(path, jax.tree_util.tree_map(to_abstract, template))
 
 
 class CheckpointManager:

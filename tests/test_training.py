@@ -134,3 +134,76 @@ def test_overwrite_contract():
     )
     # w got a normal sgd update: w - 0.5 * 2w = 0.
     np.testing.assert_allclose(np.asarray(new_state.model.w), 0.0)
+
+
+def test_checkpoint_resume_training_continuity(tmp_path):
+    """Train -> checkpoint -> keep training vs restore -> resume must
+    produce identical losses, including the sharded embedding's fused
+    optimizer slots and step counter."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from keras_rs_tpu import training
+    from keras_rs_tpu.layers.embedding.config import (
+        FeatureConfig,
+        TableConfig,
+    )
+    from keras_rs_tpu.layers.embedding.distributed_embedding import (
+        DistributedEmbedding,
+    )
+    from keras_rs_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.create_mesh()
+    table = TableConfig(
+        name="t", vocabulary_size=211, embedding_dim=8, combiner="mean",
+        placement="sharded", optimizer="adam",
+        max_ids_per_partition=64, max_unique_ids_per_partition=64,
+    )
+    fc = FeatureConfig(name="f", table=table, input_shape=(16, 3),
+                       output_shape=(16, 8))
+    layer = DistributedEmbedding({"f": fc}, key=jax.random.key(0),
+                                 mesh=mesh)
+    rng = np.random.default_rng(0)
+    batches = [
+        {
+            "ids": jnp.asarray(rng.integers(0, 211, (16, 3))),
+            "y": jnp.asarray(rng.normal(size=(16, 8)), jnp.float32),
+        }
+        for _ in range(10)
+    ]
+
+    def loss_fn(m, b):
+        acts = m(m.preprocess_on_device({"f": b["ids"]}))["f"]
+        return jnp.mean((acts - b["y"]) ** 2)
+
+    opt = optax.adam(0.05)
+    step = training.make_train_step(loss_fn, opt, donate=False)
+
+    state = training.create_train_state(layer, opt)
+    for b in batches[:5]:
+        state, _ = step(state, b)
+    path = str(tmp_path / "ckpt")
+    training.save_checkpoint(path, state)
+
+    # Branch A: continue in-memory.
+    state_a, losses_a = state, []
+    for b in batches[5:]:
+        state_a, loss = step(state_a, b)
+        losses_a.append(float(loss))
+
+    # Branch B: restore from disk and resume.
+    fresh = training.create_train_state(
+        DistributedEmbedding({"f": fc}, key=jax.random.key(7), mesh=mesh),
+        opt,
+    )
+    state_b = training.restore_checkpoint(path, fresh)
+    losses_b = []
+    for b in batches[5:]:
+        state_b, loss = step(state_b, b)
+        losses_b.append(float(loss))
+
+    np.testing.assert_allclose(losses_a, losses_b, rtol=1e-6)
+    stack = layer.stacks[0].name
+    assert float(state_b.model.state.value[stack]["step"]) == 10.0
