@@ -37,12 +37,17 @@ def make_lists(data, list_size=5, num_lists=2000, seed=0):
 def train(loss_obj, users, items, labels):
     model = models.TwoTower(200, 100, 16, key=jax.random.key(1))
 
+    def item_scores(m, u, it):
+        # Per-item scores: the candidate tower must NOT reduce the list
+        # axis, so run it on flattened ids and restore [B, L].
+        B, L = it.shape
+        q = m.query_tower(u)[:, None, :]
+        c = m.candidate_tower(it.reshape(-1)).reshape(B, L, -1)
+        return jnp.sum(q * c, axis=-1)
+
     def loss_fn(m, batch):
         u, it, y = batch
-        q = m.query_tower(u)[:, None, :]
-        c = m.candidate_tower(it)
-        scores = jnp.sum(q * c, axis=-1)
-        return loss_obj(y_true=y, y_pred=scores)
+        return loss_obj(y_true=y, y_pred=item_scores(m, u, it))
 
     trainer = training.Trainer(model, optax.adagrad(0.3), loss_fn)
 
@@ -57,9 +62,9 @@ def train(loss_obj, users, items, labels):
     trainer.fit(data, epochs=10, log_every=0)
     # NDCG@5 on the training lists (protocol demo).
     m = metrics.NDCG(k=5, shuffle_ties=False)
-    q = trainer.model.query_tower(jnp.asarray(users))[:, None, :]
-    c = trainer.model.candidate_tower(jnp.asarray(items))
-    scores = jnp.sum(q * c, axis=-1)
+    scores = item_scores(
+        trainer.model, jnp.asarray(users), jnp.asarray(items)
+    )
     m.update_state(jnp.asarray(labels), scores)
     return float(m.result())
 

@@ -32,3 +32,26 @@ def test_data_parallel_retrieval_example():
     r = run_example("examples.data_parallel_retrieval")
     assert r.returncode == 0, r.stderr[-3000:]
     assert "final loss" in r.stdout
+
+
+@pytest.mark.parametrize(
+    "module,expect",
+    [
+        ("examples.basic_ranking", ""),
+        ("examples.basic_retrieval", ""),
+        ("examples.listwise_ranking", "NDCG@5"),
+        ("examples.dcn", ""),
+        ("examples.sequential_retrieval", "recall"),
+        ("examples.sas_rec", "recall"),
+        ("examples.multi_task", ""),
+        ("examples.deep_recommender", "recall@10"),
+    ],
+)
+def test_example_runs(module, expect):
+    """Every example must run end-to-end (regression: a tower-shape bug
+    in listwise_ranking went unnoticed because only 2 examples were
+    smoke-tested)."""
+    r = run_example(module)
+    assert r.returncode == 0, (r.stdout + r.stderr)[-3000:]
+    if expect:
+        assert expect in r.stdout, r.stdout[-2000:]
