@@ -83,7 +83,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, scale,
 
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
-                   delta_ref, dq_ref, *, scale, causal):
+                   delta_ref, dq_ref, *, scale, causal, bq):
     iq = pl.program_id(1)
     q = q_ref[0].astype(jnp.float32)  # [BQ, hd]
     k = k_ref[0].astype(jnp.float32)  # [T, hd]
@@ -97,7 +97,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
     ) * scale
     s = s + bias_ref[0]
     if causal:
-        rows = iq * BLOCK_Q + jax.lax.broadcasted_iota(
+        rows = iq * bq + jax.lax.broadcasted_iota(
             jnp.int32, s.shape, 0
         )
         cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -114,7 +114,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
-                    delta_ref, dk_ref, dv_ref, *, scale, causal):
+                    delta_ref, dk_ref, dv_ref, *, scale, causal, bq):
     jk = pl.program_id(1)
     q = q_ref[0].astype(jnp.float32)  # [T, hd]
     k = k_ref[0].astype(jnp.float32)  # [BK, hd]
@@ -129,7 +129,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
     ) * scale  # [BK, T]
     s = s + jnp.transpose(bias_ref[0])  # [BK, 1] key bias over queries
     if causal:
-        key_pos = jk * BLOCK_Q + jax.lax.broadcasted_iota(
+        key_pos = jk * bq + jax.lax.broadcasted_iota(
             jnp.int32, s.shape, 0
         )
         query_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -180,45 +180,56 @@ def _fwd_call(q, k, v, bias, scale, causal, interpret):
 
 def _bwd_call(q, k, v, bias, do, lse, delta, scale, causal, interpret):
     BH, T, hd = q.shape
-    grid = (BH, T // BLOCK_Q)
+    # At T=8192, hd=128 the backward tiles brush the default 16 MB
+    # scoped-VMEM budget (overflow ~48 KB); raise the cap for the
+    # backward kernels only.
+    bq = BLOCK_Q
+    grid = (BH, T // bq)
+    params = pltpu.CompilerParams(vmem_limit_bytes=24 * 1024 * 1024)
 
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, scale=scale, causal=causal),
+        functools.partial(
+            _bwd_dq_kernel, scale=scale, causal=causal, bq=bq
+        ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, BLOCK_Q, hd), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, bq, hd), lambda b, i: (b, i, 0)),
             pl.BlockSpec((1, T, hd), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, T, hd), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, 1, T), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, BLOCK_Q, hd), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, 1, BLOCK_Q), lambda b, i: (b, 0, i)),
-            pl.BlockSpec((1, 1, BLOCK_Q), lambda b, i: (b, 0, i)),
+            pl.BlockSpec((1, bq, hd), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, 1, bq), lambda b, i: (b, 0, i)),
+            pl.BlockSpec((1, 1, bq), lambda b, i: (b, 0, i)),
         ],
-        out_specs=pl.BlockSpec((1, BLOCK_Q, hd), lambda b, i: (b, i, 0)),
+        out_specs=pl.BlockSpec((1, bq, hd), lambda b, i: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((BH, T, hd), q.dtype),
+        compiler_params=params,
         interpret=interpret,
     )(q, k, v, bias, do, lse, delta)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, scale=scale, causal=causal),
+        functools.partial(
+            _bwd_dkv_kernel, scale=scale, causal=causal, bq=bq
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, T, hd), lambda b, j: (b, 0, 0)),
-            pl.BlockSpec((1, BLOCK_Q, hd), lambda b, j: (b, j, 0)),
-            pl.BlockSpec((1, BLOCK_Q, hd), lambda b, j: (b, j, 0)),
-            pl.BlockSpec((1, 1, BLOCK_Q), lambda b, j: (b, 0, j)),
+            pl.BlockSpec((1, bq, hd), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((1, bq, hd), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((1, 1, bq), lambda b, j: (b, 0, j)),
             pl.BlockSpec((1, T, hd), lambda b, j: (b, 0, 0)),
             pl.BlockSpec((1, 1, T), lambda b, j: (b, 0, 0)),
             pl.BlockSpec((1, 1, T), lambda b, j: (b, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, BLOCK_Q, hd), lambda b, j: (b, j, 0)),
-            pl.BlockSpec((1, BLOCK_Q, hd), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((1, bq, hd), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((1, bq, hd), lambda b, j: (b, j, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((BH, T, hd), jnp.float32),
             jax.ShapeDtypeStruct((BH, T, hd), jnp.float32),
         ],
+        compiler_params=params,
         interpret=interpret,
     )(q, k, v, bias, do, lse, delta)
     return dq, dk, dv
