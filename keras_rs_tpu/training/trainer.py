@@ -27,6 +27,31 @@ from keras_rs_tpu.training.train_state import (
 logger = logging.getLogger("keras_rs_tpu")
 
 
+def prefetch_to_device(iterator: Iterable[Any], size: int = 2):
+    """Overlaps host->device transfer with compute.
+
+    Keeps `size` batches in flight: each batch is device_put
+    (asynchronously) while the previous ones execute — the standard
+    double-buffered input pipeline for a production train loop.
+    """
+    import collections
+
+    buf = collections.deque()
+    it = iter(iterator)
+    try:
+        for _ in range(size):
+            buf.append(jax.device_put(next(it)))
+    except StopIteration:
+        pass
+    while buf:
+        out = buf.popleft()
+        try:
+            buf.append(jax.device_put(next(it)))
+        except StopIteration:
+            pass
+        yield out
+
+
 class Trainer:
     """Minimal, explicit trainer.
 
@@ -67,11 +92,34 @@ class Trainer:
         log_every: int = 100,
         profile_dir: str | None = None,
         profile_steps: tuple[int, int] = (10, 20),
+        prefetch: int = 0,
+        validation_fn: Callable[[Any], float] | None = None,
+        checkpoint_dir: str | None = None,
+        metrics_log: str | None = None,
     ) -> dict[str, list[float]]:
+        """Runs the training loop.
+
+        prefetch: >0 keeps that many batches device_put in flight
+            (overlaps host->device transfer with compute).
+        validation_fn(model) -> float: run after each epoch; with
+            `checkpoint_dir`, the LOWEST value's state is kept at
+            <checkpoint_dir>/best (plus <checkpoint_dir>/last each
+            epoch) — checkpoint-restart is the failure-recovery story
+            (SURVEY.md §5).
+        metrics_log: path of a JSONL file appended with one record per
+            epoch (observability without a TensorBoard dependency).
+        """
+        import json as _json
+
         history: dict[str, list[float]] = {"loss": []}
+        if validation_fn is not None:
+            history["val"] = []
+        best_val = float("inf")
         global_step = 0
         for epoch in range(epochs):
             epoch_data = data() if callable(data) else data
+            if prefetch:
+                epoch_data = prefetch_to_device(epoch_data, prefetch)
             losses = []
             t0 = time.time()
             for i, batch in enumerate(epoch_data):
@@ -100,6 +148,31 @@ class Trainer:
                 )
             epoch_loss = float(np.mean([float(l) for l in losses]))
             history["loss"].append(epoch_loss)
+            record = {
+                "epoch": epoch,
+                "loss": epoch_loss,
+                "seconds": round(time.time() - t0, 2),
+            }
+            if validation_fn is not None:
+                val = float(validation_fn(self.state.model))
+                history["val"].append(val)
+                record["val"] = val
+                if checkpoint_dir is not None:
+                    from keras_rs_tpu.training.checkpoint import (
+                        save_checkpoint,
+                    )
+
+                    save_checkpoint(
+                        f"{checkpoint_dir}/last", self.state
+                    )
+                    if val < best_val:
+                        best_val = val
+                        save_checkpoint(
+                            f"{checkpoint_dir}/best", self.state
+                        )
+            if metrics_log:
+                with open(metrics_log, "a") as f:
+                    f.write(_json.dumps(record) + "\n")
             logger.info(
                 "epoch %d done in %.1fs loss %.5f",
                 epoch,

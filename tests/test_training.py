@@ -207,3 +207,62 @@ def test_checkpoint_resume_training_continuity(tmp_path):
     np.testing.assert_allclose(losses_a, losses_b, rtol=1e-6)
     stack = layer.stacks[0].name
     assert float(state_b.model.state.value[stack]["step"]) == 10.0
+
+
+def test_trainer_fit_validation_best_checkpoint(tmp_path):
+    import json
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from keras_rs_tpu import training
+    from keras_rs_tpu.models.two_tower import TwoTower
+
+    model = TwoTower(50, 40, 8, key=jax.random.key(0))
+    rng = np.random.default_rng(0)
+    u = rng.integers(0, 50, 512).astype(np.int32)
+    it = ((u * 7) % 40).astype(np.int32)
+
+    def loss_fn(m, batch):
+        uu, ii = batch
+        q, c = m.query_tower(uu), m.candidate_tower(ii)
+        scores = q @ c.T
+        labels = jnp.arange(scores.shape[0])
+        return -jnp.mean(
+            jnp.take_along_axis(
+                jax.nn.log_softmax(scores, -1), labels[:, None], -1
+            )
+        )
+
+    trainer = training.Trainer(model, optax.adagrad(0.5), loss_fn)
+
+    def data():
+        for i in range(0, 512, 128):
+            yield (jnp.asarray(u[i : i + 128]), jnp.asarray(it[i : i + 128]))
+
+    def val_fn(m):
+        q, c = m.query_tower(jnp.asarray(u)), m.candidate_tower(
+            jnp.asarray(it)
+        )
+        return float(-jnp.mean(jnp.sum(q * c, axis=-1)))
+
+    log = tmp_path / "metrics.jsonl"
+    hist = trainer.fit(
+        data,
+        epochs=3,
+        log_every=0,
+        prefetch=2,
+        validation_fn=val_fn,
+        checkpoint_dir=str(tmp_path / "ck"),
+        metrics_log=str(log),
+    )
+    assert len(hist["loss"]) == 3 and len(hist["val"]) == 3
+    lines = [json.loads(l) for l in log.read_text().splitlines()]
+    assert len(lines) == 3 and "val" in lines[0]
+    # best + last checkpoints exist and restore
+    restored = training.restore_checkpoint(
+        str(tmp_path / "ck" / "best"), trainer.state
+    )
+    assert restored is not None
