@@ -101,7 +101,7 @@ def main():
         f"the {words[i % 10]} {words[(i * 3) % 10]}"
         for i in range(num_items)
     ]
-    tv = TextVectorizer(max_tokens=4).adapt(titles)
+    tv = TextVectorizer(output_sequence_length=4).adapt(titles)
     title_ids, title_w = tv(titles)
 
     model = DeepRecommender(

@@ -151,18 +151,18 @@ def main(config_name: str = "smoke_test", **overrides) -> dict:
         return (
             auc_m.update(auc_state, labels, probs),
             acc_m.update(acc_state, labels, probs),
+            probs,
         )
 
     auc_state, acc_state = auc_m.init_state(), acc_m.init_state()
     ck_labels, ck_probs = [], []
     for eval_batch in dataset.dummy_batches(4, seed=777):
         pre = model.preprocess(eval_batch)
-        auc_state, acc_state = eval_step(
+        auc_state, acc_state, probs = eval_step(
             state.model, pre, auc_state, acc_state
         )
-        logits = np.asarray(jax.jit(lambda m, b: m(b))(state.model, pre))
         ck_labels.append(np.asarray(eval_batch["label"]))
-        ck_probs.append(1 / (1 + np.exp(-logits)))
+        ck_probs.append(np.asarray(probs))
     acc = float(acc_m.result_from_state(acc_state))
     auc = float(auc_m.result_from_state(auc_state))
     exact = binary_auc(

@@ -99,12 +99,20 @@ class Vocabulary:
 class TextVectorizer:
     """TextVectorization-lite: whitespace-split, vocab lookup, pad/trunc.
 
-    Produces (ids [B, max_tokens], weights [B, max_tokens]) — the padded
-    ragged form every embedding layer here consumes.
+    Parameter names FOLLOW keras.layers.TextVectorization:
+    `max_tokens` caps the VOCABULARY size (0/None = unbounded) and
+    `output_sequence_length` is the padded width. Produces
+    (ids [B, output_sequence_length], weights [...]) — the padded ragged
+    form every embedding layer here consumes.
     """
 
-    def __init__(self, max_tokens: int = 16) -> None:
+    def __init__(
+        self,
+        max_tokens: int | None = None,
+        output_sequence_length: int = 16,
+    ) -> None:
         self.max_tokens = max_tokens
+        self.output_sequence_length = output_sequence_length
         self.vocab = Vocabulary()
 
     @staticmethod
@@ -113,7 +121,13 @@ class TextVectorizer:
 
     def adapt(self, texts: Iterable[str]) -> "TextVectorizer":
         for t in texts:
-            self.vocab.adapt(self._split(t))
+            for tok in self._split(t):
+                if (
+                    self.max_tokens is not None
+                    and self.vocab.size >= self.max_tokens
+                ):
+                    break
+                self.vocab.adapt([tok])
         return self
 
     @property
@@ -121,11 +135,12 @@ class TextVectorizer:
         return self.vocab.size
 
     def __call__(self, texts: Sequence[str]):
+        L = self.output_sequence_length
         B = len(texts)
-        ids = np.zeros((B, self.max_tokens), np.int64)
-        weights = np.zeros((B, self.max_tokens), np.float32)
+        ids = np.zeros((B, L), np.int64)
+        weights = np.zeros((B, L), np.float32)
         for i, t in enumerate(texts):
-            toks = self._split(t)[: self.max_tokens]
+            toks = self._split(t)[:L]
             if toks:
                 ids[i, : len(toks)] = self.vocab.lookup(toks)
                 weights[i, : len(toks)] = 1.0

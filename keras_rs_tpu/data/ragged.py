@@ -33,13 +33,21 @@ class Ragged(NamedTuple):
 
     @classmethod
     def from_lists(cls, rows) -> "Ragged":
-        """Builds from a list of per-row id lists."""
+        """Builds from a list of per-row lists (int ids or float weights).
+
+        Integer inputs become int64; float inputs keep float32 (so
+        per-id WEIGHTS built this way are not truncated to integers).
+        """
         row_lengths = np.asarray([len(r) for r in rows], np.int32)
-        values = (
-            np.concatenate([np.asarray(r, np.int64) for r in rows])
-            if len(rows) and row_lengths.sum()
-            else np.zeros((0,), np.int64)
-        )
+        if len(rows) and row_lengths.sum():
+            values = np.concatenate([np.asarray(r) for r in rows])
+            values = values.astype(
+                np.int64
+                if np.issubdtype(values.dtype, np.integer)
+                else np.float32
+            )
+        else:
+            values = np.zeros((0,), np.int64)
         return cls(values=values, row_lengths=row_lengths)
 
     def to_padded(

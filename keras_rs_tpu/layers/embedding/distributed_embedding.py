@@ -352,6 +352,14 @@ class DistributedEmbedding(Module):
                 w = w_leaves.get(name)
                 if isinstance(w, Ragged):
                     # Per-id ragged weights: densify on the SAME grid.
+                    if not np.array_equal(
+                        np.asarray(w.row_lengths),
+                        np.asarray(leaf.row_lengths),
+                    ):
+                        raise ValueError(
+                            f"Feature {name!r}: Ragged weights "
+                            "row_lengths must equal the ids row_lengths."
+                        )
                     wv, _ = w.to_padded(max_length=ids.shape[1])
                     mask = mask * np.asarray(wv, np.float32)
                 elif w is not None:

@@ -81,6 +81,14 @@ class EmbedReduce(Module):
             # .py:31-92); explicit weights multiply into the mask.
             ids, mask = inputs.to_padded()
             if isinstance(weights, Ragged):
+                if not np.array_equal(
+                    np.asarray(weights.row_lengths),
+                    np.asarray(inputs.row_lengths),
+                ):
+                    raise ValueError(
+                        "Ragged weights row_lengths must equal the ids "
+                        "row_lengths."
+                    )
                 wv, _ = weights.to_padded(max_length=ids.shape[1])
                 mask = mask * np.asarray(wv, np.float32)
             elif weights is not None:

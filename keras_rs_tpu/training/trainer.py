@@ -153,23 +153,21 @@ class Trainer:
                 "loss": epoch_loss,
                 "seconds": round(time.time() - t0, 2),
             }
+            if checkpoint_dir is not None:
+                from keras_rs_tpu.training.checkpoint import (
+                    save_checkpoint,
+                )
+
+                save_checkpoint(f"{checkpoint_dir}/last", self.state)
             if validation_fn is not None:
                 val = float(validation_fn(self.state.model))
                 history["val"].append(val)
                 record["val"] = val
-                if checkpoint_dir is not None:
-                    from keras_rs_tpu.training.checkpoint import (
-                        save_checkpoint,
-                    )
-
+                if checkpoint_dir is not None and val < best_val:
+                    best_val = val
                     save_checkpoint(
-                        f"{checkpoint_dir}/last", self.state
+                        f"{checkpoint_dir}/best", self.state
                     )
-                    if val < best_val:
-                        best_val = val
-                        save_checkpoint(
-                            f"{checkpoint_dir}/best", self.state
-                        )
             if metrics_log:
                 with open(metrics_log, "a") as f:
                     f.write(_json.dumps(record) + "\n")

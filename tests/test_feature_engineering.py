@@ -44,7 +44,7 @@ def test_vocabulary_oov():
 
 
 def test_text_vectorizer_padded_output():
-    tv = TextVectorizer(max_tokens=4).adapt(
+    tv = TextVectorizer(output_sequence_length=4).adapt(
         ["The Matrix", "Toy Story", "The Lion King"]
     )
     ids, w = tv(["the lion king", "matrix unknownword"])
@@ -52,3 +52,12 @@ def test_text_vectorizer_padded_output():
     np.testing.assert_array_equal(w[0], [1, 1, 1, 0])
     assert ids[0, 0] == ids[1, 0] * 0 + tv.vocab.lookup(["the"])[0]
     assert ids[1, 1] == 0  # OOV
+
+
+def test_text_vectorizer_vocab_cap():
+    # keras semantics: max_tokens caps the VOCABULARY (incl. OOV id 0).
+    tv = TextVectorizer(max_tokens=3, output_sequence_length=4)
+    tv.adapt(["a b c d e f"])
+    assert tv.vocabulary_size == 3
+    ids, _ = tv(["a b c"])
+    assert ids[0, 2] == 0  # "c" fell past the cap -> OOV

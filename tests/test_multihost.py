@@ -33,7 +33,15 @@ def _launch(port):
         )
         for i in range(2)
     ]
-    outs = [p.communicate(timeout=540)[0] for p in procs]
+    outs = []
+    try:
+        for p in procs:
+            outs.append(p.communicate(timeout=540)[0])
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
     return procs, outs
 
 

@@ -149,3 +149,21 @@ def test_bucketize_boundary_goes_to_upper_bucket():
     np.testing.assert_array_equal(
         bucketize([9.9, 10.0, 49.9, 50.0], [10, 50]), [0, 1, 1, 2]
     )
+
+
+def test_ragged_weights_row_length_mismatch_raises():
+    key = jax.random.key(4)
+    layer = EmbedReduce(50, 8, key=key)
+    r = Ragged.from_lists([[3, 7], [9]])
+    bad_w = Ragged(
+        values=np.asarray([1.0], np.float32),
+        row_lengths=np.asarray([1, 0], np.int32),
+    )
+    with pytest.raises(ValueError, match="row_lengths"):
+        layer(r, weights=bad_w)
+
+
+def test_ragged_from_lists_preserves_float_weights():
+    w = Ragged.from_lists([[0.5, 1.5], [2.0]])
+    assert w.values.dtype == np.float32
+    np.testing.assert_allclose(w.values, [0.5, 1.5, 2.0])
