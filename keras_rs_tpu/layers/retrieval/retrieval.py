@@ -105,10 +105,15 @@ class BruteForceRetrieval(Retrieval):
         k: int = 10,
         return_scores: bool = True,
         chunk_size: int | str | None = "auto",
+        recall_target: float | None = None,
         name: str | None = None,
     ) -> None:
         super().__init__(k=k, return_scores=return_scores, name=name)
         self.chunk_size = chunk_size
+        #: None = exact; (0, 1) = approx_max_k per chunk (4.5x faster
+        #: chunk selection; see ops/topk.py). Only used on the chunked
+        #: path.
+        self.recall_target = recall_target
         self.candidate_embeddings = None
         self.candidate_ids = None
         if candidate_embeddings is None:
@@ -160,7 +165,8 @@ class BruteForceRetrieval(Retrieval):
                 65536 if self.chunk_size == "auto" else int(self.chunk_size)
             )
             top_scores, top_idx = chunked_topk_mips(
-                inputs, self.candidate_embeddings, self.k, chunk
+                inputs, self.candidate_embeddings, self.k, chunk,
+                recall_target=self.recall_target,
             )
         else:
             scores = self.compute_score(inputs, self.candidate_embeddings)

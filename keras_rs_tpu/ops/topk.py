@@ -25,17 +25,26 @@ from keras_rs_tpu.utils.shape_utils import round_up as _round_up
 
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk_size"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "chunk_size", "recall_target")
+)
 def chunked_topk_mips(
     queries: jax.Array,  # [B, D]
     candidates: jax.Array,  # [N, D]
     k: int,
     chunk_size: int = 65536,
+    recall_target: float | None = None,
 ) -> tuple[jax.Array, jax.Array]:
-    """Exact top-k dot-product search; returns (scores [B,k], idx [B,k]).
+    """Streaming top-k dot-product search; returns (scores, idx) [B, k].
 
-    Identical results to `lax.top_k(queries @ candidates.T, k)` including
-    tie-breaking by lower candidate index, with O(B*chunk) peak memory.
+    recall_target=None (default): EXACT — identical to
+    `lax.top_k(queries @ candidates.T, k)` including tie-breaking by
+    lower candidate index, at O(B*chunk) peak memory.
+    recall_target in (0, 1): per-chunk selection uses the TPU-optimized
+    `lax.approx_max_k` (measured 4.5x faster than the exact chunk
+    top_k at 1M x 128: the monolithic sort is the bottleneck, not the
+    MXU matmul); the cross-chunk merge stays exact, so overall recall
+    is >= roughly recall_target.
     """
     B, D = queries.shape
     N = candidates.shape[0]
@@ -61,7 +70,12 @@ def chunked_topk_mips(
         base = chunk_idx * chunk
         col = base + jnp.arange(chunk, dtype=jnp.int32)[None, :]
         scores = jnp.where(col < N, scores, neg_inf)  # mask padding
-        loc_s, loc_i = jax.lax.top_k(scores, k)
+        if recall_target is None:
+            loc_s, loc_i = jax.lax.top_k(scores, k)
+        else:
+            loc_s, loc_i = jax.lax.approx_max_k(
+                scores, k, recall_target=recall_target
+            )
         loc_i = jnp.take_along_axis(
             jnp.broadcast_to(col, scores.shape), loc_i, axis=1
         )

@@ -72,3 +72,16 @@ def test_chunk_smaller_than_k_is_clamped():
         jnp.matmul(q, c.T, preferred_element_type=jnp.float32), 10
     )
     np.testing.assert_array_equal(i, ri)
+
+
+def test_approx_recall_target():
+    key = jax.random.key(5)
+    q = jax.random.normal(key, (32, 32))
+    c = jax.random.normal(jax.random.key(6), (5000, 32))
+    exact_s, exact_i = chunked_topk_mips(q, c, 10, 512)
+    ap_s, ap_i = chunked_topk_mips(q, c, 10, 512, recall_target=0.95)
+    recall = np.mean([
+        len(set(np.asarray(ap_i[b])) & set(np.asarray(exact_i[b]))) / 10
+        for b in range(32)
+    ])
+    assert recall >= 0.9, recall
