@@ -86,6 +86,11 @@ def preprocess_stack_device(
             w = jnp.asarray(w, jnp.float32)
             if w.ndim == 1:
                 w = w[:, None]
+            if w.shape != ids.shape:
+                raise ValueError(
+                    f"Feature {fspec.name}: weights shape {w.shape} != "
+                    f"ids shape {ids.shape}."
+                )
 
         tspec = stack.table_spec(fspec.table_name)
         L = ids.shape[1]

@@ -146,6 +146,16 @@ def stack_lookup(
         row_grads = jax.ops.segment_sum(
             ge, e_unique, num_segments=U
         )  # [U, dim]
+        # Unique index U-1 is the reserved sink (dedup maps padding AND
+        # unique-capacity overflow there): drop its gradient so the sink
+        # row never updates — otherwise overflow steps would race
+        # non-identical bytes in the unique-row scatter and the sink's
+        # optimizer slots would grow without bound. (Mask multiply: XLA
+        # scatters are ~200us even for one row, see BASELINE.md.)
+        not_sink = (
+            jnp.arange(U, dtype=jnp.int32) != U - 1
+        ).astype(row_grads.dtype)
+        row_grads = row_grads * not_sink[:, None]
 
         # unique_slots is ascending by construction (sorted dedup + sink
         # padding at the top index): sorted gathers run at HBM speed on

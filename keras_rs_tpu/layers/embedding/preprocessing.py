@@ -75,6 +75,13 @@ def preprocess_stack(
     `backend`: "auto" uses the native C++ engine when available
     (native/coo_preprocess.cc), "numpy" forces the reference
     implementation below, "native" requires the C++ engine.
+
+    Note on capacity drops: combiner divisors are computed over ALL
+    valid ids of a segment, including ids later dropped for exceeding
+    bucket capacity — i.e. a "mean" stays the mean over the declared
+    list. Dropping is an overload condition (warned, counted in stats);
+    fix capacities rather than relying on drop semantics. All three
+    backends implement this identically.
     """
     if backend in ("auto", "native"):
         from keras_rs_tpu.layers.embedding import native as native_lib
@@ -84,17 +91,19 @@ def preprocess_stack(
                 stack, inputs, weights
             )
             if stats.dropped_ids:
-                if not allow_drop:
-                    raise ValueError(
-                        f"Bucket capacity exceeded: {stats.dropped_ids} "
-                        f"ids dropped (capacity "
-                        f"{stack.max_ids_per_partition})."
-                    )
-                warnings.warn(
-                    f"Stack {stack.name!r}: dropped {stats.dropped_ids} "
-                    "ids. Raise max_ids_per_partition.",
-                    stacklevel=2,
+                msg = (
+                    f"Stack {stack.name!r}: {stats.dropped_ids} "
+                    "ids/updates dropped (bucket capacity "
+                    f"{stack.max_ids_per_partition}, max observed "
+                    f"{stats.max_ids_per_bucket}; unique capacity "
+                    f"{stack.max_unique_ids_per_shard - 1}, max observed "
+                    f"{stats.max_unique_per_shard}). Raise "
+                    "max_ids_per_partition / "
+                    "max_unique_ids_per_partition."
                 )
+                if not allow_drop:
+                    raise ValueError(msg)
+                warnings.warn(msg, stacklevel=2)
             return coo, stats
         if backend == "native":
             raise RuntimeError("Native preprocessing unavailable.")
@@ -183,19 +192,6 @@ def preprocess_stack(
 
     within = rank < C
     dropped = int((~within).sum())
-    if dropped and not allow_drop:
-        raise ValueError(
-            f"Bucket capacity exceeded: {dropped} ids dropped (capacity "
-            f"{C}). Raise max_ids_per_partition or enable dropping."
-        )
-    if dropped:
-        warnings.warn(
-            f"Stack {stack.name!r}: dropped {dropped} ids (bucket capacity "
-            f"{C}, max observed "
-            f"{int(np.bincount(bucket, minlength=1).max())}). Raise "
-            "max_ids_per_partition.",
-            stacklevel=2,
-        )
     counts = np.bincount(bucket, minlength=D * D)
     max_ids = int(counts.max()) if len(counts) else 0
 
@@ -226,11 +222,23 @@ def preprocess_stack(
         inv = np.where(inv < n, inv, U - 1)
         entry_unique[e, np.nonzero(real)[0]] = inv
 
+    unique_overflow = max(0, max_unique - (U - 1))
     stats = InputStats(
         max_ids_per_bucket=max_ids,
         max_unique_per_shard=max_unique,
-        dropped_ids=dropped + max(0, max_unique - (U - 1)),
+        dropped_ids=dropped + unique_overflow,
     )
+    if stats.dropped_ids:
+        msg = (
+            f"Stack {stack.name!r}: {dropped} ids over bucket capacity "
+            f"{C} (max observed {max_ids}; raise max_ids_per_partition)"
+            f" and {unique_overflow} unique rows over capacity {U - 1} "
+            f"(max observed {max_unique}; raise "
+            "max_unique_ids_per_partition)."
+        )
+        if not allow_drop:
+            raise ValueError(msg)
+        warnings.warn(msg, stacklevel=2)
     return (
         CooBatch(
             send_slots=send_slots,

@@ -35,8 +35,7 @@ from keras_rs_tpu.layers.embedding import optimizers as opt_lib
 from keras_rs_tpu.layers.embedding.config import FeatureConfig, TableConfig
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+from keras_rs_tpu.utils.shape_utils import round_up as _round_up
 
 
 @dataclasses.dataclass(frozen=True)
@@ -107,8 +106,17 @@ def _optimizer_key(table: TableConfig) -> str:
     try:
         return f"{opt.name}:{sorted(opt.get_config().items())}"
     except ValueError:
-        # Callable learning rate: key by identity.
-        return f"{opt.name}:{id(opt.learning_rate)}"
+        # Callable learning rate: key the rest of the config by value
+        # and the schedule by identity (two tables only stack when they
+        # share the SAME schedule object AND all other hyperparams).
+        cfg = {
+            k: v
+            for k, v in vars(opt).items()
+            if k != "learning_rate" and not callable(v)
+        }
+        return (
+            f"{opt.name}:{id(opt.learning_rate)}:{sorted(cfg.items())}"
+        )
 
 
 def build_stacks(
@@ -193,7 +201,16 @@ def build_stacks(
             offset += padded // num_shards
 
         feature_specs: list[StackedFeatureSpec] = []
-        stack_name = "_".join(t.name for t in group)[:64]
+        stack_name = "_".join(t.name for t in group)
+        if len(stack_name) > 64:
+            # Truncate but keep uniqueness (states/preprocessed inputs
+            # are keyed by stack name).
+            import hashlib
+
+            digest = hashlib.sha1(
+                stack_name.encode()
+            ).hexdigest()[:8]
+            stack_name = f"{stack_name[:55]}_{digest}"
         batch_sizes = set()
         for t in group:
             for fc in table_features[id(t)]:
@@ -262,13 +279,15 @@ def init_stack_table(
     for t, k in zip(stack.tables, keys):
         cfg = table_configs[t.name]
         initializer = init_lib.get(cfg.initializer)
-        full = initializer(k, (t.padded_vocab, stack.stack_dim), dtype)
+        # Initialize at the TABLE's true dim so fan-based initializers
+        # (e.g. the default VarianceScaling fan_out) see embedding_dim,
+        # not the stack's padded dim; zero-pad columns afterwards.
+        full = initializer(k, (t.padded_vocab, t.embedding_dim), dtype)
         if t.embedding_dim < stack.stack_dim:
-            # Zero the dim padding so exports are exact.
-            mask = (
-                jnp.arange(stack.stack_dim) < t.embedding_dim
-            ).astype(dtype)
-            full = full * mask
+            full = jnp.pad(
+                full,
+                ((0, 0), (0, stack.stack_dim - t.embedding_dim)),
+            )
         # Zero padded vocab rows.
         if t.padded_vocab > t.vocabulary_size:
             row_mask = (

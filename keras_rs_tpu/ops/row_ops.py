@@ -81,10 +81,18 @@ def _scatter_kernel(idx_ref, rows_ref, table_ref, out_ref, sems):
     jax.lax.fori_loop(0, ngroups, body, 0)
 
 
+#: Upper bound on row width for the Pallas path: the VMEM rows block is
+#: [BLOCK_ROWS, dim] f32, double-buffered by the pipeline — keep it well
+#: under the ~16 MB budget (dim 512 -> 2 x 4 MB).
+MAX_PALLAS_DIM = 512
+
+
 def pallas_supported(dim: int) -> bool:
-    """The row DMA needs lane-aligned rows."""
+    """The row DMA needs lane-aligned rows that fit the VMEM budget."""
     return (
-        jax.default_backend() == "tpu" and dim % _LANE == 0
+        jax.default_backend() == "tpu"
+        and dim % _LANE == 0
+        and dim <= MAX_PALLAS_DIM
     )
 
 
@@ -102,6 +110,8 @@ def scatter_rows(
     """table[idx[i]] = rows[i] in place via pipelined row DMA."""
     N = idx.shape[0]
     R, dim = table.shape
+    if N == 0:
+        return table
     Np = _round_up(max(N, BLOCK_ROWS), BLOCK_ROWS)
     if Np != N:
         # Park padding on the last real entry (identical bytes => the

@@ -293,3 +293,80 @@ def test_init_stack_table_sharded():
     movie = gather_table(stack, np.asarray(table), "movie")
     assert movie.shape == (50, 6)
     assert abs(movie.std() - 1.0 / np.sqrt(6)) < 0.15
+
+
+def test_mixed_dim_stack_initializer_variance():
+    """Fan-based init must use each TABLE's dim, not the stack's padded
+    dim (review finding: a dim-16 table stacked with dim-128 was
+    initialized ~2.8x too small)."""
+    from keras_rs_tpu.core import initializers as init_lib
+    from keras_rs_tpu.layers.embedding.stacking import gather_table
+
+    small = TableConfig(
+        name="small", vocabulary_size=4096, embedding_dim=16,
+        initializer=init_lib.VarianceScaling(mode="fan_out"),
+    )
+    big = TableConfig(
+        name="big", vocabulary_size=4096, embedding_dim=128,
+        initializer=init_lib.VarianceScaling(mode="fan_out"),
+    )
+    fcs = [
+        FeatureConfig(name="fs", table=small, input_shape=(8,),
+                      output_shape=(8, 16)),
+        FeatureConfig(name="fb", table=big, input_shape=(8,),
+                      output_shape=(8, 128)),
+    ]
+    stacks = build_stacks(fcs, 1, stacking=[["small", "big"]])
+    assert len(stacks) == 1 and stacks[0].stack_dim == 128
+    table = init_stack_table(
+        stacks[0], {"small": small, "big": big}, jax.random.key(0)
+    )
+    got_small = gather_table(stacks[0], np.asarray(table), "small")
+    got_big = gather_table(stacks[0], np.asarray(table), "big")
+    # VarianceScaling fan_out: std ~ sqrt(1/dim) per table.
+    assert abs(got_small.std() / np.sqrt(1 / 16) - 1) < 0.15
+    assert abs(got_big.std() / np.sqrt(1 / 128) - 1) < 0.15
+
+
+def test_unique_overflow_does_not_update_sink():
+    """Overflow entries' gradients are dropped (not raced into the sink
+    row) — review finding on the unique-row scatter contract."""
+    import warnings as _w
+
+    t = TableConfig(
+        name="t", vocabulary_size=5000, embedding_dim=8,
+        optimizer="sgd", combiner="sum",
+        max_ids_per_partition=64, max_unique_ids_per_partition=2,
+    )
+    fcs = [FeatureConfig("f", t, (B, 16), (B, 8))]
+    mesh = mesh_lib.create_mesh()
+    stacks = build_stacks(fcs, mesh.devices.size)
+    stack = stacks[0]
+    table = init_stack_table(stack, {"t": t}, jax.random.key(0))
+    state = init_stack_state(stack, table)
+    sink = stack.sink_slot
+    table_before = np.asarray(state["table"])
+
+    rng = np.random.default_rng(0)
+    inputs = {"f": rng.integers(0, 5000, (B, 16))}
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        coo, stats = preprocess_stack(stack, inputs, None)
+    assert stats.dropped_ids > 0  # overflow actually happened
+
+    coo_dev = {k: jnp.asarray(v) for k, v in coo.arrays().items()}
+
+    def loss(ts):
+        acts = stack_lookup(stack, mesh, AXIS, ts, coo_dev)
+        return jnp.sum(acts)
+
+    new_state = jax.jit(jax.grad(loss))(state)
+    new_table = np.asarray(new_state["table"])
+    D_ = stack.num_shards
+    rows_per = stack.rows_per_shard
+    for d in range(D_):
+        sink_row = d * rows_per + sink
+        np.testing.assert_array_equal(
+            new_table[sink_row], table_before[sink_row],
+            err_msg=f"sink row of shard {d} must not update",
+        )
