@@ -3,18 +3,24 @@
 Honest microbenchmarks at the production shape (40960 x 128 f32 rows
 into a 6M-row table, v5e, scan-chained + host-read timing):
 
-    XLA row gather, unsorted idx        0.34 ms  ( 62 GB/s)
-    XLA row gather, sorted idx          0.03 ms  (729 GB/s)  <- use this
-    XLA row scatter (.at[].set)         3.7 ms   (  6 GB/s)  <- the wall
-    XLA scatter w/ sorted+unique hints  9.5 ms   (slower!)
+    XLA row gather (sorted OR unsorted) 0.24 ms  ( 87 GB/s, 170M rows/s)
+    XLA row scatter (.at[].set)         2.9 ms   (  7 GB/s)  <- the wall
+    XLA scatter w/ sorted+unique hints  9.4 ms   (slower!)
     Pallas scatter, 1 DMA/row           2.0 ms   ( 10 GB/s)
-    Pallas scatter, 8-unrolled groups   1.1 ms   ( 18 GB/s)  <- this kernel
+    Pallas scatter, 8-unrolled groups   1.0 ms   ( 20 GB/s)  <- this kernel
+
+Row access is DESCRIPTOR-rate bound, not byte bound: gathers of
+contiguous-index rows run no faster, and NARROWER rows are slower
+(f32 dim=64: 112M rows/s; bf16 dim=128: 120M rows/s) — so bf16 tables
+buy HBM capacity, not scattered-access speed. (An earlier claim here
+that sorted gathers hit 729 GB/s was a harness artifact — see
+BASELINE.md "honest timing protocol" on loop-invariant hoisting.)
 
 Conclusions baked into the lookup path (layers/embedding/lookup.py):
-  * GATHERS use `jnp.take(..., indices_are_sorted=True)` — the lookup's
-    unique slot list is ascending by construction, and XLA's sorted
-    gather runs at HBM speed; a per-row-DMA Pallas gather is issue-rate
-    bound (~25M descriptors/s) and loses.
+  * GATHERS use `jnp.take` — XLA's row gather sustains ~170M rows/s at
+    dim 128, 4x the rate of per-row Pallas DMA (~40M descriptors/s),
+    so a Pallas gather loses. `indices_are_sorted=True` is passed where
+    true (it is free and skips the bounds-sort), but measures the same.
   * SCATTER uses this kernel: rows stream VMEM->HBM with 64 outstanding
     DMAs issued in unrolled groups of 8. Indices must be UNIQUE (the
     dedup stage guarantees it; the sink-row padding entries all target
