@@ -39,6 +39,7 @@ class ExperimentConfig:
     global_batch_size: int = 16_384
     num_steps: int = 28_000
     file_pattern: str | None = None  # None -> dummy data
+    val_file_pattern: str | None = None  # None -> dummy eval batches
     num_loader_threads: int = 4
     do_profile: bool = False
     profile_dir: str = "/tmp/keras_rs_tpu_profile"
@@ -73,7 +74,61 @@ def smoke_test(**overrides) -> ExperimentConfig:
     return ExperimentConfig(name="smoke_test", **defaults)
 
 
+# Per-topology configs mirroring the reference's five experiment files
+# (configs/v6e_8.py, v6e_16.py, v6e_{8,16,32}_full_dataset.py). They
+# share the model shape and differ only in data source, global batch,
+# and step budget (reference v6e_8.py:195-198, v6e_16.py:197-200,
+# v6e_16_full_dataset.py:202-205, v6e_32_full_dataset.py:202-205).
+# On TPU the topology itself comes from the mesh at runtime, not the
+# config, so these are named for the reference runs they reproduce.
+
+
+def v6e_8(**overrides) -> ExperimentConfig:
+    """Dummy-data bring-up run (reference v6e_8.py: batch 128, 2 steps)."""
+    defaults = dict(global_batch_size=128, num_steps=2)
+    defaults.update(overrides)
+    return full_criteo(name="v6e_8", **defaults)
+
+
+def v6e_16(**overrides) -> ExperimentConfig:
+    """Dummy-data 2-host run (reference v6e_16.py: batch 16896, 10 steps)."""
+    defaults = dict(global_batch_size=16_896, num_steps=10)
+    defaults.update(overrides)
+    return full_criteo(name="v6e_16", **defaults)
+
+
+def _full_dataset(name, num_steps, **overrides) -> ExperimentConfig:
+    defaults = dict(
+        file_pattern="criteo/train/*.tfrecord",
+        val_file_pattern=None,
+        global_batch_size=16_384,
+        num_steps=num_steps,
+    )
+    defaults.update(overrides)
+    return full_criteo(name=name, **defaults)
+
+
+def v6e_8_full_dataset(**overrides) -> ExperimentConfig:
+    return _full_dataset("v6e_8_full_dataset", num_steps=2, **overrides)
+
+
+def v6e_16_full_dataset(**overrides) -> ExperimentConfig:
+    return _full_dataset("v6e_16_full_dataset", num_steps=40, **overrides)
+
+
+def v6e_32_full_dataset(**overrides) -> ExperimentConfig:
+    """The MLPerf target run: 28000 steps at global batch 16384."""
+    return _full_dataset(
+        "v6e_32_full_dataset", num_steps=28_000, **overrides
+    )
+
+
 CONFIGS = {
     "full_criteo": full_criteo,
     "smoke_test": smoke_test,
+    "v6e_8": v6e_8,
+    "v6e_16": v6e_16,
+    "v6e_8_full_dataset": v6e_8_full_dataset,
+    "v6e_16_full_dataset": v6e_16_full_dataset,
+    "v6e_32_full_dataset": v6e_32_full_dataset,
 }

@@ -154,9 +154,22 @@ def main(config_name: str = "smoke_test", **overrides) -> dict:
             probs,
         )
 
+    if cfg.val_file_pattern:
+        val_dataset = CriteoDataset(
+            cfg.val_file_pattern,
+            global_batch_size=cfg.global_batch_size,
+            vocab_sizes=cfg.vocab_sizes,
+            multi_hot_sizes=cfg.multi_hot_sizes,
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
+        )
+        eval_batches = val_dataset.batches(epochs=1)
+    else:
+        eval_batches = dataset.dummy_batches(4, seed=777)
+
     auc_state, acc_state = auc_m.init_state(), acc_m.init_state()
     ck_labels, ck_probs = [], []
-    for eval_batch in dataset.dummy_batches(4, seed=777):
+    for eval_batch in eval_batches:
         pre = model.preprocess(eval_batch)
         auc_state, acc_state, probs = eval_step(
             state.model, pre, auc_state, acc_state
@@ -190,11 +203,17 @@ if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", default="smoke_test")
     parser.add_argument("--num_steps", type=int, default=None)
+    parser.add_argument("--file_pattern", default=None)
+    parser.add_argument("--val_file_pattern", default=None)
     parser.add_argument("--profile", action="store_true")
     args = parser.parse_args()
     overrides = {}
     if args.num_steps:
         overrides["num_steps"] = args.num_steps
+    if args.file_pattern:
+        overrides["file_pattern"] = args.file_pattern
+    if args.val_file_pattern:
+        overrides["val_file_pattern"] = args.val_file_pattern
     if args.profile:
         overrides["do_profile"] = True
     main(args.config, **overrides)

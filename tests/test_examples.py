@@ -28,6 +28,49 @@ def test_ml_perf_smoke():
     assert "results" in r.stderr or "results" in r.stdout
 
 
+def test_ml_perf_tfrecord_train_and_val(tmp_path):
+    """End-to-end ml_perf on real TFRecord files, incl. the validation
+    eval branch (reference: configs/v6e_16_full_dataset.py:11-15)."""
+    import os
+
+    import numpy as np
+
+    from keras_rs_tpu.data.tfrecord import make_example, write_tfrecord
+
+    # smoke_test config shapes (examples/ml_perf/configs.py).
+    vocab_sizes = [100_000, 50_000, 1000, 500, 60_000, 30]
+    multi_hot = [3, 2, 1, 1, 4, 1]
+    rng = np.random.default_rng(0)
+    for split, nrec in (("train", 1024), ("val", 512)):
+        records = []
+        for _ in range(nrec):
+            feats = {
+                "label": np.asarray(
+                    [rng.integers(0, 2)], np.int32
+                ).astype("<i4").tobytes(),
+                "dense_features": rng.normal(size=13)
+                .astype("<f4")
+                .tobytes(),
+            }
+            for i, (v, m) in enumerate(zip(vocab_sizes, multi_hot)):
+                feats[f"categorical_feature_{i}"] = rng.integers(
+                    0, v, size=m
+                ).astype("<i8").tobytes()
+            records.append(make_example(feats))
+        write_tfrecord(
+            os.path.join(tmp_path, f"{split}.tfrecord"), records
+        )
+    r = run_example(
+        "examples.ml_perf.main",
+        "--config", "smoke_test",
+        "--num_steps", "2",
+        "--file_pattern", os.path.join(tmp_path, "train.tfrecord"),
+        "--val_file_pattern", os.path.join(tmp_path, "val.tfrecord"),
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "results" in r.stderr or "results" in r.stdout
+
+
 def test_data_parallel_retrieval_example():
     r = run_example("examples.data_parallel_retrieval")
     assert r.returncode == 0, r.stderr[-3000:]
