@@ -22,6 +22,27 @@ def run_example(module, *args, timeout=600):
     )
 
 
+def test_ml_perf_configs_integrity():
+    """Every named config builds and matches the reference's topology
+    parameters (configs/v6e_*.py:195-205)."""
+    from examples.ml_perf.configs import CONFIGS, CRITEO_VOCAB_SIZES
+
+    assert len(CRITEO_VOCAB_SIZES) == 26
+    built = {n: f() for n, f in CONFIGS.items()}
+    assert built["v6e_8"].global_batch_size == 128
+    assert built["v6e_16"].global_batch_size == 16_896
+    assert built["v6e_32_full_dataset"].num_steps == 28_000
+    for name in ("v6e_8_full_dataset", "v6e_16_full_dataset",
+                 "v6e_32_full_dataset"):
+        c = built[name]
+        assert c.file_pattern is not None
+        assert c.global_batch_size == 16_384
+        assert c.vocab_sizes == CRITEO_VOCAB_SIZES
+    # Overrides reach the dataclass (the CLI path).
+    c = CONFIGS["v6e_32_full_dataset"](val_file_pattern="val/*.tfrecord")
+    assert c.val_file_pattern == "val/*.tfrecord"
+
+
 def test_ml_perf_smoke():
     r = run_example("examples.ml_perf.main", "--config", "smoke_test")
     assert r.returncode == 0, r.stderr[-3000:]
