@@ -1,0 +1,120 @@
+"""Unit tests for the Pallas row-scatter kernels (ops/row_ops.py).
+
+The CPU suite exercises the kernels via `interpret=True` (the real DMA
+path runs on TPU and is covered by the embedding golden-oracle tests +
+bench); the XLA fallback is the reference output.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from keras_rs_tpu.ops.row_ops import (
+    BLOCK_ROWS,
+    scatter_rows,
+    scatter_rows_unique,
+    scatter_rows_unique_multi,
+)
+
+
+def _mk(R, N, dim, seed=0, dtype=np.float32):
+    rng = np.random.default_rng(seed)
+    table = rng.standard_normal((R, dim)).astype(dtype)
+    idx = rng.choice(R, size=N, replace=False).astype(np.int32)
+    idx = np.sort(idx)
+    rows = rng.standard_normal((N, dim)).astype(dtype)
+    return jnp.asarray(table), jnp.asarray(idx), jnp.asarray(rows)
+
+
+@pytest.mark.parametrize("N", [1, 7, BLOCK_ROWS, BLOCK_ROWS + 5])
+def test_single_scatter_interpret_matches_xla(N):
+    table, idx, rows = _mk(3 * BLOCK_ROWS, N, 128)
+    want = table.at[idx].set(rows, unique_indices=True)
+    got = scatter_rows(table, idx, rows, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("k", [2, 3])
+@pytest.mark.parametrize("N", [5, BLOCK_ROWS + 3])
+def test_multi_scatter_interpret_matches_xla(k, N):
+    R, dim = 3 * BLOCK_ROWS, 128
+    tables, rows_list = [], []
+    _, idx, _ = _mk(R, N, dim)
+    for s in range(k):
+        t, _, r = _mk(R, N, dim, seed=s + 1)
+        tables.append(t)
+        rows_list.append(r)
+    want = [
+        t.at[idx].set(r, unique_indices=True)
+        for t, r in zip(tables, rows_list)
+    ]
+    got = scatter_rows_unique_multi(
+        list(tables), idx, list(rows_list), use_pallas=True,
+        interpret=True,
+    )
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_multi_scatter_mixed_dtypes_interpret():
+    """bf16 table stream + f32 slot stream in one kernel."""
+    R, N, dim = 2 * BLOCK_ROWS, 33, 128
+    t_bf, idx, r_bf = _mk(R, N, dim, seed=3)
+    t_bf = t_bf.astype(jnp.bfloat16)
+    t_f32, _, r_f32 = _mk(R, N, dim, seed=4)
+    # Compute expectations BEFORE the call: the kernel donates (and so
+    # deletes) its table arguments — that is the in-place contract.
+    want0 = t_bf.at[idx].set(r_bf.astype(jnp.bfloat16),
+                             unique_indices=True)
+    want1 = t_f32.at[idx].set(r_f32, unique_indices=True)
+    got = scatter_rows_unique_multi(
+        [t_bf, t_f32], idx, [r_bf, r_f32], use_pallas=True,
+        interpret=True,
+    )
+    assert got[0].dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want0))
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(want1))
+
+
+def test_multi_scatter_xla_fallback_and_edge_cases():
+    R, N, dim = 64, 5, 8  # dim not lane-aligned -> XLA path
+    t0, _, r0 = _mk(R, N, dim, seed=5)
+    idx = jnp.asarray(np.sort(
+        np.random.default_rng(9).choice(R, N, replace=False)
+    ).astype(np.int32))
+    t1, _, r1 = _mk(R, N, dim, seed=6)
+    got = scatter_rows_unique_multi([t0, t1], idx, [r0, r1])
+    for g, t, r in zip(got, (t0, t1), (r0, r1)):
+        np.testing.assert_array_equal(
+            np.asarray(g),
+            np.asarray(t.at[idx].set(r, unique_indices=True)),
+        )
+    # N = 0 is a no-op.
+    empty = scatter_rows_unique_multi(
+        [t0, t1],
+        jnp.zeros((0,), jnp.int32),
+        [r0[:0], r1[:0]],
+    )
+    np.testing.assert_array_equal(np.asarray(empty[0]), np.asarray(t0))
+    # k = 1 delegates to the single-stream path.
+    one = scatter_rows_unique_multi([t0], idx, [r0])
+    np.testing.assert_array_equal(
+        np.asarray(one[0]),
+        np.asarray(t0.at[idx].set(r0, unique_indices=True)),
+    )
+    # Mismatched widths are rejected.
+    with pytest.raises(ValueError):
+        scatter_rows_unique_multi(
+            [t0, jnp.zeros((R, dim * 2))], idx, [r0, r1]
+        )
+    with pytest.raises(ValueError):
+        scatter_rows_unique_multi([], idx, [])
+
+
+def test_single_scatter_unique_xla_path():
+    table, idx, rows = _mk(128, 17, 8, seed=7)
+    got = scatter_rows_unique(table, idx, rows, use_pallas=False)
+    np.testing.assert_array_equal(
+        np.asarray(got),
+        np.asarray(table.at[idx].set(rows, unique_indices=True)),
+    )
