@@ -181,14 +181,13 @@ def scatter_rows_unique(
 # 40960x128 bench shape (~15% off the scatter wall, the step's largest
 # single cost).
 
-#: Auto-path gate for the dual-stream kernel. False = the `use_pallas=
-#: None` path splits into per-stream single kernels (the long-validated
-#: configuration); True = k-stream kernel when it fits the VMEM budget.
-#: Kept off until the kernel is re-validated on live TPU hardware
-#: (the chip tunnel wedged during its first validation window; interpret
-#: -mode semantics are covered by tests/test_row_ops.py either way).
-#: Explicit `use_pallas=True` always engages it.
-MULTI_STREAM_AUTO = False
+#: Auto-path gate for the k-stream kernel. True = use it whenever the
+#: streams fit the VMEM budget together (validated on live v5e by
+#: tools/validate_multi_scatter.py: bit-exact at the bench shape and
+#: ~10% faster than back-to-back single-stream kernels). False falls
+#: back to per-stream single kernels; explicit `use_pallas=True` always
+#: engages the k-stream kernel.
+MULTI_STREAM_AUTO = True
 
 
 def _make_multi_kernel(k: int):
