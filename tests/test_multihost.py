@@ -46,10 +46,14 @@ def _launch(port):
 
 
 def test_two_process_training():
-    # One retry: the free-port handoff can race with another process.
-    for attempt in range(2):
+    # Retries: the free-port handoff can race with another process, and
+    # under full-suite load the coordinator handshake can time out.
+    for attempt in range(3):
         procs, outs = _launch(_free_port())
-        if all(p.returncode == 0 for p in procs):
+        ok = all(p.returncode == 0 for p in procs) and all(
+            f"WORKER_OK {i}" in out for i, out in enumerate(outs)
+        )
+        if ok:
             break
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out[-3000:]}"
