@@ -216,4 +216,13 @@ if __name__ == "__main__":
         overrides["val_file_pattern"] = args.val_file_pattern
     if args.profile:
         overrides["do_profile"] = True
+    # Env overrides (documented in run.sh; convenient on --worker=all
+    # launches where per-worker flags are awkward).
+    import os
+
+    if os.environ.get("KRT_PROFILE_DIR"):
+        overrides["do_profile"] = True
+        overrides["profile_dir"] = os.environ["KRT_PROFILE_DIR"]
+    if os.environ.get("KRT_CHECKPOINT_DIR"):
+        overrides["checkpoint_dir"] = os.environ["KRT_CHECKPOINT_DIR"]
     main(args.config, **overrides)

@@ -13,8 +13,9 @@
 #   (keras_rs_tpu/data/criteo.py), and stats/checkpoints sync over DCN
 #   (keras_rs_tpu/parallel/multihost.py). No extra flags needed.
 #
-# Optional env:
-#   KRT_PROFILE_DIR=/tmp/trace   capture a jax.profiler trace
+# Optional env (read by main.py as config overrides; equivalently pass
+# --profile or set profile_dir/checkpoint_dir in the config):
+#   KRT_PROFILE_DIR=/tmp/trace   capture a jax.profiler trace there
 #   KRT_CHECKPOINT_DIR=...       Orbax checkpoint/resume directory
 set -euo pipefail
 

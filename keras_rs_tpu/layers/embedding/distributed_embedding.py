@@ -94,6 +94,7 @@ class DistributedEmbedding(Module):
         axis_name: str | tuple[str, ...] = mesh_lib.DATA_AXIS,
         table_stacking: Any = "auto",
         dtype: Any = jnp.float32,
+        auto_grow: bool = True,
     ) -> None:
         if key is None:
             key = jax.random.key(0)
@@ -101,6 +102,19 @@ class DistributedEmbedding(Module):
             mesh = mesh_lib.create_mesh(axis_name=axis_name)
         self.mesh = mesh
         self.axis_name = axis_name
+        self._table_stacking = (
+            [list(g) for g in table_stacking]
+            if not isinstance(table_stacking, str)
+            and table_stacking is not None
+            else table_stacking
+        )
+        self._dtype_str = np.dtype(dtype).name
+        #: When True (reference parity, jax/distributed_embedding.py:
+        #: 658-719), `preprocess(..., training=True)` syncs observed stats
+        #: across hosts and automatically grows COO capacities + redoes
+        #: the batch when limits are exceeded — no ids are ever dropped.
+        #: False restores warn-only behavior (manual rebuild_capacities).
+        self.auto_grow = auto_grow
         self._feature_leaves, self._feature_treedef = _flatten_features(
             feature_configs
         )
@@ -203,43 +217,46 @@ class DistributedEmbedding(Module):
         """
         in_leaves = self._match_features(inputs)
         w_leaves = (
-            self._match_features(weights)
+            self._match_features(weights, allow_partial=True)
             if weights is not None
             else {fc.name: None for fc in self._feature_leaves}
         )
         self._densify_ragged(in_leaves, w_leaves)
 
-        sharded = {}
-        for stack in self.stacks:
-            coo, stats = preprocess_stack(
-                stack,
-                {f.name: in_leaves[f.name] for f in stack.features},
-                {
-                    f.name: w_leaves[f.name]
-                    for f in stack.features
-                    if w_leaves[f.name] is not None
-                },
+        if training and self.auto_grow and self.stacks:
+            # Capacity overflow in this pass is handled by regrowing below,
+            # so the per-stack "raise max_ids..." warnings would be noise.
+            import warnings as _warnings
+
+            with _warnings.catch_warnings():
+                _warnings.simplefilter("ignore")
+                coos, stats_by_stack = self._preprocess_stacks(
+                    in_leaves, w_leaves
+                )
+        else:
+            coos, stats_by_stack = self._preprocess_stacks(
+                in_leaves, w_leaves
             )
+        if training and self.auto_grow and self.stacks:
+            grown = self._maybe_grow(stats_by_stack)
+            if grown:
+                # Capacities grew (consistently across hosts) — redo the
+                # affected stacks so nothing from THIS batch is dropped
+                # (parity: jax/distributed_embedding.py:658-719).
+                new_coos, new_stats = self._preprocess_stacks(
+                    in_leaves, w_leaves, only=grown
+                )
+                coos.update(new_coos)
+                stats_by_stack.update(new_stats)
+
+        sharded = {}
+        sharding = mesh_lib.batch_sharding(self.mesh, self.axis_name)
+        for stack in self.stacks:
             if training:
-                prev = self._stats.stats.get(stack.name)
-                if prev is None:
-                    self._stats.stats[stack.name] = stats
-                else:
-                    self._stats.stats[stack.name] = InputStats(
-                        max_ids_per_bucket=max(
-                            prev.max_ids_per_bucket,
-                            stats.max_ids_per_bucket,
-                        ),
-                        max_unique_per_shard=max(
-                            prev.max_unique_per_shard,
-                            stats.max_unique_per_shard,
-                        ),
-                        dropped_ids=prev.dropped_ids + stats.dropped_ids,
-                    )
-            sharding = mesh_lib.batch_sharding(self.mesh, self.axis_name)
+                self._fold_stats(stack.name, stats_by_stack[stack.name])
             sharded[stack.name] = {
                 k: jax.device_put(v, sharding)
-                for k, v in coo.arrays().items()
+                for k, v in coos[stack.name].arrays().items()
             }
 
         dense = {}
@@ -275,10 +292,16 @@ class DistributedEmbedding(Module):
         Returns the same marker-wrapped structure as `preprocess`; with
         `return_stats=True` also returns `{stack_name: DeviceStats}` for
         capacity monitoring (update_stats parity) as device scalars.
+
+        Capacity overflow on this path silently truncates (shapes are
+        static inside jit — there is no host to warn). For a device-only
+        pipeline, periodically host-read the returned DeviceStats and feed
+        them to `record_stats(...)`; then `update_stats()` /
+        `rebuild_capacities()` work exactly as on the host path.
         """
         in_leaves = self._match_features(inputs)
         w_leaves = (
-            self._match_features(weights)
+            self._match_features(weights, allow_partial=True)
             if weights is not None
             else {fc.name: None for fc in self._feature_leaves}
         )
@@ -316,23 +339,159 @@ class DistributedEmbedding(Module):
             return pre, stats
         return pre
 
-    def _match_features(self, structure: Any) -> dict[str, Any]:
+    def _preprocess_stacks(
+        self,
+        in_leaves: dict[str, Any],
+        w_leaves: dict[str, Any],
+        only: set[str] | None = None,
+    ):
+        """Runs host COO preprocessing for each (selected) stack."""
+        coos: dict[str, Any] = {}
+        stats: dict[str, InputStats] = {}
+        for stack in self.stacks:
+            if only is not None and stack.name not in only:
+                continue
+            coos[stack.name], stats[stack.name] = preprocess_stack(
+                stack,
+                {f.name: in_leaves[f.name] for f in stack.features},
+                {
+                    f.name: w_leaves[f.name]
+                    for f in stack.features
+                    if w_leaves[f.name] is not None
+                },
+            )
+        return coos, stats
+
+    def _fold_stats(self, stack_name: str, stats: InputStats) -> None:
+        prev = self._stats.stats.get(stack_name)
+        if prev is None:
+            self._stats.stats[stack_name] = stats
+        else:
+            self._stats.stats[stack_name] = InputStats(
+                max_ids_per_bucket=max(
+                    prev.max_ids_per_bucket, stats.max_ids_per_bucket
+                ),
+                max_unique_per_shard=max(
+                    prev.max_unique_per_shard, stats.max_unique_per_shard
+                ),
+                dropped_ids=prev.dropped_ids + stats.dropped_ids,
+            )
+
+    def record_stats(self, stats: Mapping[str, Any]) -> None:
+        """Folds externally observed stats into the layer's stat store.
+
+        For the device preprocessing pipeline: periodically host-read the
+        `DeviceStats` returned by `preprocess_on_device(...,
+        return_stats=True)` and pass them here, then `update_stats()` /
+        `rebuild_capacities()` work exactly as with the host path.
+        Accepts `{stack_name: InputStats | DeviceStats}`.
+        """
+        for name, st in stats.items():
+            self._fold_stats(
+                name,
+                InputStats(
+                    max_ids_per_bucket=int(st.max_ids_per_bucket),
+                    max_unique_per_shard=int(st.max_unique_per_shard),
+                    dropped_ids=int(st.dropped_ids),
+                ),
+            )
+
+    def _maybe_grow(self, stats_by_stack: Mapping[str, InputStats]):
+        """Syncs this batch's stats across hosts; grows exceeded stacks.
+
+        Every host calls this on every training batch (so the collective
+        allgather is always matched) and all hosts derive the SAME new
+        capacities — the static shapes of the jitted step stay consistent
+        across the slice. Returns the set of stack names that grew.
+        """
+        from keras_rs_tpu.parallel import multihost
+
+        flat: dict[str, int] = {}
+        for name, st in stats_by_stack.items():
+            flat[f"{name}\0ids"] = st.max_ids_per_bucket
+            flat[f"{name}\0unique"] = st.max_unique_per_shard
+            flat[f"{name}\0dropped"] = st.dropped_ids
+        synced = multihost.sync_max_stats(
+            flat,
+            sum_keys=frozenset(
+                k for k in flat if k.endswith("\0dropped")
+            ),
+        )
+        merged = {
+            name: InputStats(
+                max_ids_per_bucket=synced[f"{name}\0ids"],
+                max_unique_per_shard=synced[f"{name}\0unique"],
+                dropped_ids=synced[f"{name}\0dropped"],
+            )
+            for name in stats_by_stack
+        }
+        exceeded = {
+            stack.name
+            for stack in self.stacks
+            if stack.name in merged
+            and (
+                merged[stack.name].max_ids_per_bucket
+                > stack.max_ids_per_partition
+                or merged[stack.name].max_unique_per_shard
+                > stack.max_unique_ids_per_shard - 1
+                or merged[stack.name].dropped_ids > 0
+            )
+        }
+        if exceeded:
+            self._grow_stacks(merged, only=exceeded)
+        return exceeded
+
+    def _match_features(
+        self, structure: Any, allow_partial: bool = False
+    ) -> dict[str, Any]:
+        """Binds an input nest to the layer's features.
+
+        Accepted forms (anything else raises — a structurally different
+        nest with a coincidentally equal leaf count must never bind
+        features positionally to the wrong tables):
+          * a nest with EXACTLY the feature_configs treedef;
+          * a flat dict keyed by feature names (order-independent;
+            with `allow_partial`, e.g. for weights, a subset is fine);
+          * a bare array for a single-feature layer.
+        """
         from keras_rs_tpu.data.ragged import Ragged
 
-        leaves = jax.tree_util.tree_leaves(
-            structure,
-            is_leaf=lambda x: x is None
-            or isinstance(x, (np.ndarray, jax.Array, Ragged)),
-        )
-        if len(leaves) != len(self._feature_leaves):
-            raise ValueError(
-                f"Expected {len(self._feature_leaves)} feature inputs, got "
-                f"{len(leaves)}."
+        def is_leaf(x):
+            return x is None or isinstance(
+                x, (np.ndarray, jax.Array, Ragged)
             )
-        return {
-            fc.name: leaf
-            for fc, leaf in zip(self._feature_leaves, leaves)
-        }
+
+        names = [fc.name for fc in self._feature_leaves]
+        if isinstance(structure, Mapping) and all(
+            is_leaf(v) for v in structure.values()
+        ):
+            unknown = set(structure) - set(names)
+            missing = set(names) - set(structure)
+            if not unknown and (not missing or allow_partial):
+                return {
+                    name: structure.get(name) for name in names
+                }
+            if unknown or missing:
+                raise ValueError(
+                    "Feature inputs keyed by name do not match the "
+                    f"layer's features: unknown {sorted(unknown)}, "
+                    f"missing {sorted(missing)}."
+                )
+
+        leaves, treedef = jax.tree_util.tree_flatten(
+            structure, is_leaf=is_leaf
+        )
+        if treedef != self._feature_treedef and not (
+            len(names) == 1
+            and len(leaves) == 1
+            and jax.tree_util.treedef_is_leaf(treedef)
+        ):
+            raise ValueError(
+                "Feature inputs do not match the layer's feature_configs "
+                f"structure. Expected {self._feature_treedef} (or a flat "
+                f"dict keyed by feature names {names}), got {treedef}."
+            )
+        return {name: leaf for name, leaf in zip(names, leaves)}
 
     @staticmethod
     def _densify_ragged(
@@ -383,16 +542,20 @@ class DistributedEmbedding(Module):
         """
         return bool(self.stacks)
 
-    def update_stats(self) -> dict[str, InputStats]:
-        """Cross-host max of observed preprocessing stats, with capacity
+    def update_stats(self, warn: bool = True) -> dict[str, InputStats]:
+        """Cross-host merge of observed preprocessing stats (max of
+        capacity watermarks, sum of dropped counts), with capacity
         warnings.
 
         Parity: the reference's `update_stats` path allgathers input
         stats over DCN and re-preprocesses when limits grew
-        (jax/distributed_embedding.py:658-719). Here: call after some
-        `preprocess(..., training=True)` steps (or collect DeviceStats
-        from `preprocess_on_device`), then `rebuild_capacities()` if
-        anything exceeded its configured limit.
+        (jax/distributed_embedding.py:658-719). With the default
+        `auto_grow=True` this happens automatically inside
+        `preprocess(..., training=True)`; this method is the manual path:
+        call it after some training steps (host pipeline) or after
+        `record_stats` (device pipeline, see `preprocess_on_device`),
+        then `rebuild_capacities(synced=...)` if anything exceeded its
+        configured limit.
         """
         from keras_rs_tpu.parallel import multihost
 
@@ -409,7 +572,7 @@ class DistributedEmbedding(Module):
                 }
             )
             synced[stack.name] = InputStats(**agg)
-            if (
+            if warn and (
                 agg["max_ids_per_bucket"] > stack.max_ids_per_partition
                 or agg["max_unique_per_shard"]
                 > stack.max_unique_ids_per_shard - 1
@@ -428,24 +591,38 @@ class DistributedEmbedding(Module):
                 )
         return synced
 
-    def rebuild_capacities(self, margin: float = 1.25) -> bool:
+    def rebuild_capacities(
+        self,
+        margin: float = 1.25,
+        synced: Mapping[str, InputStats] | None = None,
+    ) -> bool:
         """Grows per-stack COO capacities to observed cross-host maxima.
 
         Capacities are static shapes of the preprocessed arrays only —
         tables, optimizer slots, and the step counter carry over
         untouched. Returns True if anything changed (then re-preprocess
         upcoming batches; old preprocessed batches remain valid but jit
-        will recompile for the new shapes).
+        will recompile for the new shapes). Pass `synced` stats (e.g. the
+        return of a prior `update_stats()`) to skip the internal sync.
         """
+        if synced is None:
+            synced = self.update_stats(warn=False)
+        return self._grow_stacks(synced, margin=margin)
+
+    def _grow_stacks(
+        self,
+        synced: Mapping[str, InputStats],
+        only: set[str] | None = None,
+        margin: float = 1.25,
+    ) -> bool:
         import dataclasses
         import math
 
-        synced = self.update_stats()
         changed = False
         new_stacks = []
         for stack in self.stacks:
             st = synced.get(stack.name)
-            if st is None:
+            if st is None or (only is not None and stack.name not in only):
                 new_stacks.append(stack)
                 continue
             C = max(
@@ -573,10 +750,30 @@ class DistributedEmbedding(Module):
                 if isinstance(self.axis_name, tuple)
                 else self.axis_name
             ),
+            "table_stacking": self._table_stacking,
+            "dtype": self._dtype_str,
+            "auto_grow": self.auto_grow,
         }
 
     @classmethod
-    def from_config(cls, config: dict[str, Any]) -> "DistributedEmbedding":
+    def from_config(
+        cls,
+        config: dict[str, Any],
+        *,
+        mesh: Mesh | None = None,
+        key: jax.Array | None = None,
+    ) -> "DistributedEmbedding":
+        """Rebuilds the layer from `get_config` output.
+
+        Restores the full constructor state — shared-table dedup,
+        table_stacking, dtype, auto_grow, and mesh axis names (parity:
+        base_distributed_embedding.py:1053-1139). The mesh itself is
+        runtime state: by default a fresh mesh over the available devices
+        is built with the serialized axis names; pass `mesh=` to place
+        the layer on an existing mesh. Table VALUES come from
+        checkpoints (`set_embedding_tables` / Orbax state restore), not
+        from the config.
+        """
         tables = [
             TableConfig.from_config(c) for c in config["tables"]
         ]
@@ -592,4 +789,12 @@ class DistributedEmbedding(Module):
         axis_name = config.get("axis_name", "data")
         if isinstance(axis_name, list):
             axis_name = tuple(axis_name)
-        return cls(fcs, axis_name=axis_name)
+        return cls(
+            fcs,
+            axis_name=axis_name,
+            mesh=mesh,
+            key=key,
+            table_stacking=config.get("table_stacking", "auto"),
+            dtype=np.dtype(config.get("dtype", "float32")),
+            auto_grow=config.get("auto_grow", True),
+        )

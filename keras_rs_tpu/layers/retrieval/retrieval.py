@@ -3,9 +3,9 @@
 TPU-native reimplementation of keras_rs/src/layers/retrieval/retrieval.py
 and brute_force_retrieval.py. Scoring is a single (B, D) x (D, N) matmul
 (MXU-bound) followed by `lax.top_k`; this is already the optimal single-chip
-layout for exact MIPS. A mesh-sharded variant (candidates row-sharded,
-psum-free local top-k + global merge) lives in
-keras_rs_tpu/parallel/sharded_retrieval.py.
+layout for exact MIPS. The mesh-sharded variant (candidates row-sharded,
+local top-k per shard + gathered merge) is
+keras_rs_tpu.parallel.sharded_retrieval.ShardedBruteForceRetrieval.
 """
 
 from __future__ import annotations
@@ -149,15 +149,28 @@ class BruteForceRetrieval(Retrieval):
                 "No candidates. Call `update_candidates` first."
             )
         n = self.candidate_embeddings.shape[0]
+        # The streaming chunked kernel hardcodes dot-product scoring, so a
+        # subclass overriding compute_score must not be silently routed
+        # through it ("auto" falls back to the direct path; an explicit
+        # chunk_size with a custom compute_score is an error).
+        custom_score = (
+            type(self).compute_score is not Retrieval.compute_score
+        )
         use_chunked = (
             self.chunk_size is not None
             and self.chunk_size != 0
             and (
-                n > self.DIRECT_MAX_CANDIDATES
+                (n > self.DIRECT_MAX_CANDIDATES and not custom_score)
                 if self.chunk_size == "auto"
                 else True
             )
         )
+        if use_chunked and custom_score:
+            raise ValueError(
+                "Chunked retrieval assumes dot-product scoring; "
+                f"{type(self).__name__} overrides compute_score. Pass "
+                "chunk_size=None (or 'auto') to use the direct path."
+            )
         if use_chunked:
             from keras_rs_tpu.ops.topk import chunked_topk_mips
 

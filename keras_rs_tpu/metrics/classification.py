@@ -86,8 +86,11 @@ class AUC(Module):
                 jnp.asarray(sample_weight, self.dtype), y_true.shape
             )
         )
-        # [T, N] prediction >= threshold.
-        pred_pos = y_pred[None, :] >= self.thresholds[:, None]
+        # [T, N] strict prediction > threshold (Keras parity: predictions
+        # exactly equal to an interior threshold count as negative; the
+        # -eps / 1+eps endpoint thresholds make the curve endpoints
+        # all-positive / all-negative regardless).
+        pred_pos = y_pred[None, :] > self.thresholds[:, None]
         pos = (y_true > 0.5)[None, :]
         w_b = w[None, :]
         tp = jnp.sum(jnp.where(pred_pos & pos, w_b, 0.0), axis=1)
@@ -172,7 +175,8 @@ class BinaryAccuracy(Module):
                 jnp.asarray(sample_weight, self.dtype), y_true.shape
             )
         )
-        correct = (y_pred >= self.threshold) == (y_true > 0.5)
+        # Strict > like keras.metrics.binary_accuracy.
+        correct = (y_pred > self.threshold) == (y_true > 0.5)
         return MeanPair(
             total=state.total + jnp.sum(jnp.where(correct, w, 0.0)),
             count=state.count + jnp.sum(w),

@@ -1,4 +1,7 @@
 from keras_rs_tpu.parallel import multihost
+from keras_rs_tpu.parallel.sharded_retrieval import (
+    ShardedBruteForceRetrieval,
+)
 from keras_rs_tpu.parallel.mesh import (
     DATA_AXIS,
     batch_sharding,
@@ -11,6 +14,7 @@ from keras_rs_tpu.parallel.mesh import (
 
 __all__ = [
     "DATA_AXIS",
+    "ShardedBruteForceRetrieval",
     "batch_sharding",
     "create_mesh",
     "multihost",

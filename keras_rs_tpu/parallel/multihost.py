@@ -36,14 +36,27 @@ def process_allgather(x: Any) -> Any:
     return multihost_utils.process_allgather(x)
 
 
-def sync_max_stats(stats: dict[str, int]) -> dict[str, int]:
-    """Element-wise max of integer stats across processes
-    (update_stats parity, jax/distributed_embedding.py:658-719)."""
+#: Stats that are additive across hosts (each host drops its own ids);
+#: everything else merges with max (capacities are per-shard maxima).
+_SUM_STATS = frozenset({"dropped_ids"})
+
+
+def sync_max_stats(
+    stats: dict[str, int], sum_keys: frozenset[str] = _SUM_STATS
+) -> dict[str, int]:
+    """Merges integer stats across processes (update_stats parity,
+    jax/distributed_embedding.py:658-719): max for capacity watermarks,
+    SUM for additive counters like `dropped_ids` (each host's drops are
+    disjoint, so a max would under-report the global count)."""
     keys = sorted(stats)
     local = np.asarray([stats[k] for k in keys], np.int64)
-    gathered = process_allgather(local)
-    merged = np.max(np.asarray(gathered), axis=0)
-    return {k: int(v) for k, v in zip(keys, merged)}
+    gathered = np.asarray(process_allgather(local))
+    merged_max = np.max(gathered, axis=0)
+    merged_sum = np.sum(gathered, axis=0)
+    return {
+        k: int(merged_sum[i] if k in sum_keys else merged_max[i])
+        for i, k in enumerate(keys)
+    }
 
 
 def global_batch_from_host_shards(

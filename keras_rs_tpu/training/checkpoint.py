@@ -1,9 +1,12 @@
-"""Sharded, async checkpointing via Orbax.
+"""Sharded checkpointing via Orbax.
 
 The reference delegates checkpointing to Keras saving (SURVEY.md §5);
 the TPU-native equivalent is Orbax: sharded array checkpoints that
-save/restore directly to/from each device's shard (no host gather), async
-by default, with step-based rotation.
+save/restore directly to/from each device's shard (no host gather).
+`save_checkpoint` is a simple BLOCKING save (it waits for durability
+before returning — what you want for epoch-end best/last snapshots);
+`CheckpointManager` is the async, step-rotating path for saving inside
+the training loop without stalling the device.
 """
 
 from __future__ import annotations

@@ -14,6 +14,7 @@ import time
 from typing import Any, Callable, Iterable, Mapping
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import optax
 
@@ -27,26 +28,41 @@ from keras_rs_tpu.training.train_state import (
 logger = logging.getLogger("keras_rs_tpu")
 
 
-def prefetch_to_device(iterator: Iterable[Any], size: int = 2):
+def prefetch_to_device(
+    iterator: Iterable[Any], size: int = 2, sharding: Any = None
+):
     """Overlaps host->device transfer with compute.
 
     Keeps `size` batches in flight: each batch is device_put
     (asynchronously) while the previous ones execute — the standard
     double-buffered input pipeline for a production train loop.
+
+    `sharding` places each batch directly in its training layout (e.g.
+    `mesh_lib.batch_sharding(mesh)` for data-parallel batches) instead of
+    committing the full global batch to the default device — on a
+    multi-device mesh an uncommitted put would both undo the batch
+    sharding (forcing a reshard inside the step) and concentrate the
+    whole batch in one device's HBM. Pass a single sharding for every
+    leaf or a pytree of shardings matching the batch structure.
     """
     import collections
+
+    def put(batch):
+        if sharding is None:
+            return jax.device_put(batch)
+        return jax.device_put(batch, sharding)
 
     buf = collections.deque()
     it = iter(iterator)
     try:
         for _ in range(size):
-            buf.append(jax.device_put(next(it)))
+            buf.append(put(next(it)))
     except StopIteration:
         pass
     while buf:
         out = buf.popleft()
         try:
-            buf.append(jax.device_put(next(it)))
+            buf.append(put(next(it)))
         except StopIteration:
             pass
         yield out
@@ -93,6 +109,7 @@ class Trainer:
         profile_dir: str | None = None,
         profile_steps: tuple[int, int] = (10, 20),
         prefetch: int = 0,
+        prefetch_sharding: Any = None,
         validation_fn: Callable[[Any], float] | None = None,
         checkpoint_dir: str | None = None,
         metrics_log: str | None = None,
@@ -101,6 +118,9 @@ class Trainer:
 
         prefetch: >0 keeps that many batches device_put in flight
             (overlaps host->device transfer with compute).
+        prefetch_sharding: sharding (or pytree of shardings) for the
+            prefetched batches — on a multi-device mesh pass the batch
+            sharding so prefetch does not undo it.
         validation_fn(model) -> float: run after each epoch; with
             `checkpoint_dir`, the LOWEST value's state is kept at
             <checkpoint_dir>/best (plus <checkpoint_dir>/last each
@@ -119,7 +139,9 @@ class Trainer:
         for epoch in range(epochs):
             epoch_data = data() if callable(data) else data
             if prefetch:
-                epoch_data = prefetch_to_device(epoch_data, prefetch)
+                epoch_data = prefetch_to_device(
+                    epoch_data, prefetch, sharding=prefetch_sharding
+                )
             losses = []
             t0 = time.time()
             for i, batch in enumerate(epoch_data):
@@ -183,13 +205,20 @@ class Trainer:
         self,
         data: Iterable[Any],
         metric_fns: Mapping[str, RankingMetric] | None = None,
-        eval_fn: Callable[[Any, Any], tuple[Any, Any]] | None = None,
+        eval_fn: Callable[..., tuple] | None = None,
+        *,
+        report_loss: bool = True,
     ) -> dict[str, float]:
-        """Evaluates ranking metrics over a dataset.
+        """Evaluates metrics (and optionally the training loss) over a
+        dataset.
 
-        `eval_fn(model, batch) -> (y_true, y_pred)` adapts a batch into
-        metric inputs; defaults to treating the batch as (x, y) with
-        model(x) as predictions.
+        `eval_fn(model, batch)` adapts a batch into metric inputs and may
+        return `(y_true, y_pred)` or `(y_true, y_pred, sample_weight)`;
+        it defaults to treating the batch as (x, y) with model(x) as
+        predictions. With `report_loss=True` the trainer's `loss_fn` is
+        also averaged over the dataset and returned under "loss"
+        (weighted by each batch's sample count so uneven batches average
+        correctly).
         """
         metric_fns = metric_fns or {}
         if eval_fn is None:
@@ -197,20 +226,47 @@ class Trainer:
 
         @jax.jit
         def update_all(model, states, batch):
-            y_true, y_pred = eval_fn(model, batch)
-            return {
-                name: metric_fns[name].update(states[name], y_true, y_pred)
+            out = eval_fn(model, batch)
+            y_true, y_pred = out[0], out[1]
+            sample_weight = out[2] if len(out) > 2 else None
+            new_states = {
+                name: metric_fns[name].update(
+                    states[name], y_true, y_pred, sample_weight
+                )
                 for name in metric_fns
             }
+            if report_loss:
+                loss_out = self.loss_fn(model, batch)
+                loss = loss_out[0] if self.has_aux else loss_out
+                n = jnp.asarray(
+                    jax.tree_util.tree_leaves(y_pred)[0].shape[0],
+                    jnp.float32,
+                )
+                new_states["__loss__"] = (
+                    states["__loss__"][0] + loss * n,
+                    states["__loss__"][1] + n,
+                )
+            return new_states
 
-        states = {name: m.init_state() for name, m in metric_fns.items()}
-        n, loss_sum = 0, 0.0
+        states: dict[str, Any] = {
+            name: m.init_state() for name, m in metric_fns.items()
+        }
+        if report_loss:
+            states["__loss__"] = (
+                jnp.zeros((), jnp.float32),
+                jnp.zeros((), jnp.float32),
+            )
+        n_batches = 0
         for batch in data:
             states = update_all(self.state.model, states, batch)
-            n += 1
+            n_batches += 1
+        if n_batches == 0:
+            raise ValueError("evaluate() received an empty dataset.")
         results = {
             name: float(m.result_from_state(states[name]))
             for name, m in metric_fns.items()
         }
-        del n, loss_sum
+        if report_loss:
+            total, count = states["__loss__"]
+            results["loss"] = float(total) / max(float(count), 1.0)
         return results

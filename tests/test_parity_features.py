@@ -37,7 +37,7 @@ def test_embed_reduce_ragged_matches_padded():
     np.testing.assert_allclose(out_ragged, out_padded)
 
 
-def _make_layer(batch=16, max_ids=128, max_unique=128):
+def _make_layer(batch=16, max_ids=128, max_unique=128, **kwargs):
     table = TableConfig(
         name="t",
         vocabulary_size=100,
@@ -54,7 +54,9 @@ def _make_layer(batch=16, max_ids=128, max_unique=128):
         output_shape=(batch, 8),
     )
     mesh = mesh_lib.create_mesh()
-    return DistributedEmbedding({"f": fc}, key=jax.random.key(0), mesh=mesh)
+    return DistributedEmbedding(
+        {"f": fc}, key=jax.random.key(0), mesh=mesh, **kwargs
+    )
 
 
 def test_ragged_through_distributed_embedding():
@@ -86,7 +88,7 @@ def test_has_sharded_tables():
 
 def test_update_stats_and_rebuild_capacities():
     # Tiny capacities -> drops -> update_stats warns -> rebuild grows.
-    layer = _make_layer(max_ids=2, max_unique=8)
+    layer = _make_layer(max_ids=2, max_unique=8, auto_grow=False)
     # Skewed ids: many entries land in one (src, dst) bucket and blow
     # past the capacity of 2.
     ids = np.full((16, 4), 7, np.int64)
