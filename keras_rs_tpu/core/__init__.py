@@ -1,4 +1,5 @@
 from keras_rs_tpu.core import initializers
+from keras_rs_tpu.core import regularizers
 from keras_rs_tpu.core import serialization
 from keras_rs_tpu.core.module import (
     Module,
@@ -11,6 +12,7 @@ from keras_rs_tpu.core.module import (
 __all__ = [
     "Module",
     "initializers",
+    "regularizers",
     "is_param",
     "replace",
     "serialization",

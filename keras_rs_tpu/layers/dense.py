@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from keras_rs_tpu.core import initializers
+from keras_rs_tpu.core import regularizers as reg_lib
 from keras_rs_tpu.core.module import Module
 from keras_rs_tpu.types import Tensor
 
@@ -30,6 +31,8 @@ class Dense(Module):
         activation: Callable[[Tensor], Tensor] | None = None,
         kernel_initializer: Any = "glorot_uniform",
         bias_initializer: Any = "zeros",
+        kernel_regularizer: Any = None,
+        bias_regularizer: Any = None,
         dtype: Any = jnp.float32,
         compute_dtype: Any = None,
         name: str | None = None,
@@ -46,6 +49,16 @@ class Dense(Module):
             else None
         )
         self.activation = activation
+        # Weight penalties, summed by core.regularizers
+        # .regularization_loss (keras Dense regularizer parity).
+        kreg = reg_lib.get(kernel_regularizer)
+        breg = reg_lib.get(bias_regularizer)
+        regs: dict[str, Any] = {}
+        if kreg is not None:
+            regs["kernel"] = kreg
+        if breg is not None and use_bias:
+            regs["bias"] = breg
+        self._regularizers = regs
         # Mixed precision: cast operands (typically to bfloat16 for the
         # MXU) while keeping parameters and accumulation in `dtype`.
         self.compute_dtype = (
@@ -80,6 +93,8 @@ class MLP(Module):
         key: jax.Array,
         activation: Callable[[Tensor], Tensor] = jax.nn.relu,
         final_activation: Callable[[Tensor], Tensor] | None = None,
+        kernel_regularizer: Any = None,
+        bias_regularizer: Any = None,
         dtype: Any = jnp.float32,
         compute_dtype: Any = None,
         name: str | None = None,
@@ -91,7 +106,10 @@ class MLP(Module):
             act = activation if i < len(units) - 1 else final_activation
             layers.append(
                 Dense(
-                    prev, u, key=k, activation=act, dtype=dtype,
+                    prev, u, key=k, activation=act,
+                    kernel_regularizer=kernel_regularizer,
+                    bias_regularizer=bias_regularizer,
+                    dtype=dtype,
                     compute_dtype=compute_dtype,
                 )
             )

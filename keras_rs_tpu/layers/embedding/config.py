@@ -111,9 +111,20 @@ class TableConfig:
 class FeatureConfig:
     """Binds one input feature to a table.
 
-    `input_shape` is (global_batch_size, valence) — valence is the max
-    number of ids per sample (the multi-hot width); `output_shape` is
-    (global_batch_size, embedding_dim).
+    Common case: `input_shape` is (global_batch_size, valence) — valence
+    is the max number of ids per sample (the multi-hot width) — and
+    `output_shape` is (global_batch_size, embedding_dim): the valence
+    axis is combiner-reduced.
+
+    Higher ranks are supported (parity with the reference's rank-3
+    densification path, base_distributed_embedding.py:31-92). The
+    `output_shape` disambiguates whether the LAST input axis is reduced:
+      * output rank == input rank: last input axis is the valence,
+        reduced by the combiner — (B, S, L) -> (B, S, dim);
+      * output rank == input rank + 1: every id keeps its own embedding
+        — (B, S) -> (B, S, dim).
+    Internally the leading axes are flattened to one batch axis for the
+    sharded lookup and restored on output.
     """
 
     name: str
@@ -122,28 +133,49 @@ class FeatureConfig:
     output_shape: Shape
 
     def __post_init__(self) -> None:
-        if len(self.input_shape) not in (1, 2):
+        if len(self.input_shape) < 1:
             raise ValueError(
-                "`input_shape` must be (batch,) or (batch, valence); got "
-                f"{self.input_shape}."
+                f"`input_shape` must have rank >= 1; got {self.input_shape}."
             )
-        if (
-            len(self.output_shape) != 2
-            or self.output_shape[-1] != self.table.embedding_dim
-        ):
+        if self.output_shape[-1] != self.table.embedding_dim:
             raise ValueError(
-                "`output_shape` must be (batch, embedding_dim) with "
+                "`output_shape` must end with "
                 f"embedding_dim={self.table.embedding_dim}; got "
                 f"{self.output_shape}."
             )
+        in_shape = tuple(self.input_shape)
+        out_lead = tuple(self.output_shape[:-1])
+        if out_lead == in_shape[:-1]:
+            pass  # last input axis is the reduced valence
+        elif out_lead == in_shape:
+            pass  # no reduction: one embedding per id
+        else:
+            raise ValueError(
+                "`output_shape` leading dims must equal `input_shape` "
+                "(one embedding per id) or `input_shape[:-1]` (last axis "
+                f"combiner-reduced); got input_shape={self.input_shape}, "
+                f"output_shape={self.output_shape}."
+            )
+
+    @property
+    def reduced(self) -> bool:
+        """Whether the last input axis is combiner-reduced."""
+        return tuple(self.output_shape[:-1]) == tuple(self.input_shape[:-1])
 
     @property
     def batch_size(self) -> int:
-        return self.input_shape[0]
+        """Flattened global batch: product of all non-valence axes."""
+        lead = (
+            self.input_shape[:-1] if self.reduced else self.input_shape
+        )
+        out = 1
+        for d in lead:
+            out *= d
+        return out
 
     @property
     def valence(self) -> int:
-        return self.input_shape[1] if len(self.input_shape) == 2 else 1
+        return self.input_shape[-1] if self.reduced else 1
 
     def get_config(self) -> dict[str, Any]:
         return {

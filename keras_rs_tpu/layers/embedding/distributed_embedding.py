@@ -222,6 +222,7 @@ class DistributedEmbedding(Module):
             else {fc.name: None for fc in self._feature_leaves}
         )
         self._densify_ragged(in_leaves, w_leaves)
+        self._flatten_high_rank(in_leaves, w_leaves)
 
         if training and self.auto_grow and self.stacks:
             # Capacity overflow in this pass is handled by regrowing below,
@@ -306,6 +307,7 @@ class DistributedEmbedding(Module):
             else {fc.name: None for fc in self._feature_leaves}
         )
         self._densify_ragged(in_leaves, w_leaves)
+        self._flatten_high_rank(in_leaves, w_leaves)
 
         sharded = {}
         stats: dict[str, DeviceStats] = {}
@@ -455,10 +457,13 @@ class DistributedEmbedding(Module):
           * a bare array for a single-feature layer.
         """
         from keras_rs_tpu.data.ragged import Ragged
+        from keras_rs_tpu.data.sparse_utils import is_bcoo
 
         def is_leaf(x):
-            return x is None or isinstance(
-                x, (np.ndarray, jax.Array, Ragged)
+            return (
+                x is None
+                or isinstance(x, (np.ndarray, jax.Array, Ragged))
+                or is_bcoo(x)
             )
 
         names = [fc.name for fc in self._feature_leaves]
@@ -493,6 +498,31 @@ class DistributedEmbedding(Module):
             )
         return {name: leaf for name, leaf in zip(names, leaves)}
 
+    def _flatten_high_rank(
+        self, in_leaves: dict[str, Any], w_leaves: dict[str, Any]
+    ) -> None:
+        """Rank>2 features -> (flat_batch, valence) in place.
+
+        Leading axes are fused into one batch axis (the sharded lookup
+        and EmbedReduce are rank-2 engines); `__call__` restores each
+        feature's declared output_shape. Parity with the reference's
+        higher-rank densification (base_distributed_embedding.py:31-92).
+        """
+        for fc in self._feature_leaves:
+            x = in_leaves[fc.name]
+            if x is None:
+                continue
+            target = (
+                (fc.batch_size, fc.valence)
+                if fc.reduced
+                else (fc.batch_size,)
+            )
+            if tuple(x.shape) != target:
+                in_leaves[fc.name] = x.reshape(target)
+            w = w_leaves.get(fc.name)
+            if w is not None and tuple(w.shape) != target:
+                w_leaves[fc.name] = w.reshape(target)
+
     @staticmethod
     def _densify_ragged(
         in_leaves: dict[str, Any], w_leaves: dict[str, Any]
@@ -505,8 +535,22 @@ class DistributedEmbedding(Module):
         """
         from keras_rs_tpu.data.ragged import Ragged
 
+        from keras_rs_tpu.data.sparse_utils import bcoo_densify, is_bcoo
+
         for name, leaf in list(in_leaves.items()):
-            if isinstance(leaf, Ragged):
+            if is_bcoo(leaf):
+                # Sparse ids -> padded dense + 0/1 mask (reference
+                # semantics, embed_reduce.py:36-87): masked positions
+                # read row 0 but contribute nothing.
+                ids, mask = bcoo_densify(leaf)
+                w = w_leaves.get(name)
+                if w is not None:
+                    if is_bcoo(w):
+                        w = w.todense()
+                    mask = mask * np.asarray(w, np.float32)
+                in_leaves[name] = ids
+                w_leaves[name] = mask
+            elif isinstance(leaf, Ragged):
                 ids, mask = leaf.to_padded()
                 w = w_leaves.get(name)
                 if isinstance(w, Ragged):
@@ -676,10 +720,16 @@ class DistributedEmbedding(Module):
             table = self.dense_tables[self._dense_feature_to_table[name]]
             acts_by_name[name] = table(ids, w)
 
-        return jax.tree_util.tree_unflatten(
-            self._feature_treedef,
-            [acts_by_name[fc.name] for fc in self._feature_leaves],
-        )
+        # Restore each feature's declared (possibly rank>2) output shape
+        # from the flattened (batch, dim) lookup result.
+        outs = []
+        for fc in self._feature_leaves:
+            act = acts_by_name[fc.name]
+            out_shape = tuple(fc.output_shape[:-1]) + (act.shape[-1],)
+            if tuple(act.shape) != out_shape:
+                act = act.reshape(out_shape)
+            outs.append(act)
+        return jax.tree_util.tree_unflatten(self._feature_treedef, outs)
 
     # ------------------------------------------------------------------
     def get_embedding_tables(self) -> dict[str, np.ndarray]:

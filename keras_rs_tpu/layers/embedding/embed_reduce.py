@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from keras_rs_tpu.core import initializers
+from keras_rs_tpu.core import regularizers as reg_lib
 from keras_rs_tpu.core.module import Module
 from keras_rs_tpu.core.serialization import export
 from keras_rs_tpu.ops.ranking import divide_no_nan
@@ -42,6 +43,7 @@ class EmbedReduce(Module):
         *,
         key: jax.Array | None = None,
         embeddings_initializer: Any = "random_uniform",
+        embeddings_regularizer: Any = None,
         combiner: str = "mean",
         table: Tensor | None = None,
         dtype: Any = jnp.float32,
@@ -68,13 +70,34 @@ class EmbedReduce(Module):
         self.input_dim = input_dim
         self.output_dim = output_dim
         self.combiner = combiner
+        # keras.layers.Embedding embeddings_regularizer parity; summed
+        # by core.regularizers.regularization_loss.
+        self.embeddings_regularizer = reg_lib.get(embeddings_regularizer)
+        self._regularizers = (
+            {"embeddings": self.embeddings_regularizer}
+            if self.embeddings_regularizer is not None
+            else {}
+        )
         self.name = name or "embed_reduce"
 
     def __call__(
         self, inputs: Any, weights: Tensor | None = None
     ) -> Tensor:
         from keras_rs_tpu.data.ragged import Ragged
+        from keras_rs_tpu.data.sparse_utils import bcoo_densify, is_bcoo
 
+        if is_bcoo(inputs):
+            # Sparse ids (reference embed_reduce.py:36-87): densify with
+            # a 0/1 mask so masked positions (which read row 0) are
+            # zeroed and excluded from combiner divisors.
+            ids, mask = bcoo_densify(inputs)
+            if is_bcoo(weights):
+                weights = weights.todense()
+            if weights is not None:
+                mask = mask * np.asarray(weights, np.float32)
+            inputs, weights = ids, mask
+        elif is_bcoo(weights):
+            raise ValueError("Sparse weights require sparse ids.")
         if isinstance(inputs, Ragged):
             # Densify with synthesized 0/1 weights (parity with the
             # reference's ragged handling, base_distributed_embedding
@@ -99,10 +122,8 @@ class EmbedReduce(Module):
                 "Ragged weights require Ragged ids (shapes must align)."
             )
         inputs = jnp.asarray(inputs)
-        if inputs.ndim not in (1, 2):
-            raise ValueError(
-                f"`inputs` must be 1-D or 2-D, got rank {inputs.ndim}."
-            )
+        if inputs.ndim < 1:
+            raise ValueError("`inputs` must have rank >= 1.")
         x = jnp.take(self.embeddings, inputs, axis=0)
 
         if inputs.ndim == 1:

@@ -167,12 +167,16 @@ class FTRL(EmbeddingOptimizer):
         initial_accumulator_value: float = 0.1,
         l1_regularization_strength: float = 0.0,
         l2_regularization_strength: float = 0.0,
+        l2_shrinkage_regularization_strength: float = 0.0,
+        beta: float = 0.0,
     ):
         super().__init__(learning_rate)
         self.learning_rate_power = learning_rate_power
         self.initial_accumulator_value = initial_accumulator_value
         self.l1 = l1_regularization_strength
         self.l2 = l2_regularization_strength
+        self.l2_shrinkage = l2_shrinkage_regularization_strength
+        self.beta = beta
 
     def init_slot(self, slot_name, shape, dtype=jnp.float32):
         if slot_name == "accumulator":
@@ -180,13 +184,27 @@ class FTRL(EmbeddingOptimizer):
         return jnp.zeros(shape, dtype)
 
     def apply(self, rows, grads, slots, step):
+        # Full keras.optimizers.Ftrl semantics (keras/src/optimizers/
+        # ftrl.py): the accumulator uses the RAW gradient; the linear
+        # term uses the shrinkage-adjusted gradient g + 2*l2_shrinkage*w;
+        # beta folds into the quadratic as beta/lr (i.e. l2 +=
+        # beta/(2*lr)). The reference's converter passes beta through and
+        # REJECTS l2_shrinkage (jax/config_conversion.py:266-283); here
+        # both are supported in-kernel.
         lr = _lr(self.learning_rate, step)
         p = -self.learning_rate_power
         acc, linear = slots["accumulator"], slots["linear"]
         new_acc = acc + jnp.square(grads)
         sigma = (jnp.power(new_acc, p) - jnp.power(acc, p)) / lr
-        new_linear = linear + grads - sigma * rows
-        quadratic = jnp.power(new_acc, p) / lr + 2.0 * self.l2
+        grads_lin = (
+            grads + 2.0 * self.l2_shrinkage * rows
+            if self.l2_shrinkage
+            else grads
+        )
+        new_linear = linear + grads_lin - sigma * rows
+        quadratic = (
+            jnp.power(new_acc, p) / lr + 2.0 * self.l2 + self.beta / lr
+        )
         pruned = jnp.where(
             jnp.abs(new_linear) > self.l1,
             self.l1 * jnp.sign(new_linear) - new_linear,
@@ -202,6 +220,8 @@ class FTRL(EmbeddingOptimizer):
             "initial_accumulator_value": self.initial_accumulator_value,
             "l1_regularization_strength": self.l1,
             "l2_regularization_strength": self.l2,
+            "l2_shrinkage_regularization_strength": self.l2_shrinkage,
+            "beta": self.beta,
         }
 
 

@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from keras_rs_tpu.core import initializers
+from keras_rs_tpu.core import regularizers as reg_lib
 from keras_rs_tpu.core.module import Module
 from keras_rs_tpu.core.serialization import export
 from keras_rs_tpu.types import Tensor
@@ -33,6 +34,8 @@ class FeatureCross(Module):
         pre_activation: Callable[[Tensor], Tensor] | None = None,
         kernel_initializer: Any = "glorot_uniform",
         bias_initializer: Any = "zeros",
+        kernel_regularizer: Any = None,
+        bias_regularizer: Any = None,
         dtype: Any = jnp.float32,
         compute_dtype: Any = None,
         name: str | None = None,
@@ -59,6 +62,19 @@ class FeatureCross(Module):
         self.projection_dim = projection_dim
         self.diag_scale = diag_scale
         self.pre_activation = pre_activation
+        # Weight penalties (parity: feature_cross.py:103-149 forwards
+        # these to the Dense sublayers); collected by
+        # core.regularizers.regularization_loss over the module tree.
+        self.kernel_regularizer = reg_lib.get(kernel_regularizer)
+        self.bias_regularizer = reg_lib.get(bias_regularizer)
+        regs: dict[str, Any] = {}
+        if self.kernel_regularizer is not None:
+            regs["kernel"] = self.kernel_regularizer
+            if projection_dim is not None:
+                regs["down_proj_kernel"] = self.kernel_regularizer
+        if self.bias_regularizer is not None and use_bias:
+            regs["bias"] = self.bias_regularizer
+        self._regularizers = regs
         self.compute_dtype = (
             None if compute_dtype is None else jnp.dtype(compute_dtype)
         )
@@ -98,5 +114,19 @@ class FeatureCross(Module):
             "dim": self.dim,
             "projection_dim": self.projection_dim,
             "diag_scale": self.diag_scale,
+            "kernel_regularizer": reg_lib.serialize(self.kernel_regularizer),
+            "bias_regularizer": reg_lib.serialize(self.bias_regularizer),
             "name": self.name,
         }
+
+    @classmethod
+    def from_config(cls, config: dict[str, Any]) -> "FeatureCross":
+        config = dict(config)
+        config["kernel_regularizer"] = reg_lib.deserialize(
+            config.get("kernel_regularizer")
+        )
+        config["bias_regularizer"] = reg_lib.deserialize(
+            config.get("bias_regularizer")
+        )
+        config.setdefault("key", jax.random.key(0))
+        return cls(**config)
