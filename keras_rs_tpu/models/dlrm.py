@@ -78,6 +78,7 @@ class DLRMDCNv2(Module):
         *,
         key: jax.Array,
         mesh=None,
+        axis_name: Any = "data",
         dtype: Any = jnp.float32,
     ) -> None:
         cfg = config
@@ -125,7 +126,8 @@ class DLRMDCNv2(Module):
             )
         self.embedding_layer = (
             DistributedEmbedding(
-                feature_configs, key=k_emb, mesh=mesh, dtype=dtype
+                feature_configs, key=k_emb, mesh=mesh,
+                axis_name=axis_name, dtype=dtype,
             )
             if feature_configs
             else None
