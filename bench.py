@@ -80,7 +80,59 @@ def build(placement: str, mesh, batch_size: int, vocab: int, dim: int):
         return bce_loss(m, m.preprocess_on_device(b))
 
     step = training.make_train_step(loss_fn, optimizer)
-    return state, step, batch
+    return state, step, batch, cfg, model
+
+
+#: Measured chip ground truth behind the tunnel (BASELINE.md): bf16
+#: matmul peak and the descriptor-rate floors of the scattered-row path.
+PEAK_BF16_FLOPS = 145e12
+GATHER_ROWS_PER_S = 170e6  # XLA row gather, dim 128 (sorted==unsorted)
+SCATTER_DESC_PER_S = 40e6  # Pallas row/block DMA issue rate
+SEGSUM_MS = 0.3  # fwd+bwd segment-sums + combiner math at bench shape
+
+
+def dense_flops_per_step(cfg, batch_size: int) -> float:
+    """Analytic fwd+bwd matmul FLOPs of the dense stack (MLPs + DCN).
+
+    bwd ~= 2x fwd for matmuls, so total = 3 * fwd. Element-wise ops are
+    excluded (they fuse into the matmuls and are not MXU work).
+    """
+    concat = cfg.bottom_mlp[-1] + cfg.embedding_dim * len(cfg.vocab_sizes)
+    macs = 0
+    prev = cfg.num_dense_features
+    for u in cfg.bottom_mlp:
+        macs += prev * u
+        prev = u
+    for _ in range(cfg.num_dcn_layers):
+        macs += concat * cfg.dcn_projection_dim * 2  # down + up proj
+    prev = concat
+    for u in cfg.top_mlp:
+        macs += prev * u
+        prev = u
+    return 3.0 * 2.0 * macs * batch_size
+
+
+def embedding_floor_ms(cfg, batch_size: int, num_shards: int) -> float:
+    """Descriptor-rate floor of the sharded embedding fwd+bwd path.
+
+    Entries = all (non-deduped) ids of the large tables; unique rows
+    bounded by entries. fwd gather + bwd grad gather run at the XLA row
+    gather rate; the bwd block gather + block scatter at the DMA issue
+    rate (one descriptor per unique row each in the packed layout).
+    """
+    entries = sum(
+        m
+        for v, m in zip(cfg.vocab_sizes, cfg.multi_hot_sizes)
+        if v >= cfg.embedding_threshold
+    ) * batch_size
+    unique = entries  # uniform synthetic ids: ~no dedup at bench shape
+    fwd_gather = entries / GATHER_ROWS_PER_S
+    bwd_grad_gather = entries / GATHER_ROWS_PER_S
+    bwd_block_gather = unique / GATHER_ROWS_PER_S
+    scatter = unique / SCATTER_DESC_PER_S
+    return (
+        fwd_gather + bwd_grad_gather + bwd_block_gather + scatter
+    ) * 1e3 + SEGSUM_MS
 
 
 def make_scan_runner(step, iters: int):
@@ -154,8 +206,7 @@ def main() -> None:
     # dispatch-fiction timings interleaving used to guard against.
     host_rt = measure_host_rt()
 
-    def measure(placement):
-        state, step, pre = build(placement, mesh, batch_size, vocab, dim)
+    def timed_blocks(step, state, pre):
         run = make_scan_runner(step, iters)
         _, state = time_block(run, state, pre, host_rt)  # warm/compile
         ts = []
@@ -163,10 +214,59 @@ def main() -> None:
             el, state = time_block(run, state, pre, host_rt)
             ts.append(el)
         del state
-        return batch_size * iters / float(np.median(ts))
+        return float(np.median(ts)) / iters  # s/step
 
-    ours = measure("sharded")
-    naive = measure("default_device")
+    def measure(placement):
+        state, step, pre, cfg, model = build(
+            placement, mesh, batch_size, vocab, dim
+        )
+        s_per_step = timed_blocks(step, state, pre)
+        return batch_size / s_per_step, s_per_step, cfg
+
+    ours, step_s, cfg = measure("sharded")
+
+    # --- roofline accounting (BASELINE.md protocol #3) -------------------
+    # Dense-only step: the SAME model with the embedding layer stripped
+    # and its activations fed as constant batch data — isolates the dense
+    # stack's time for an MFU figure; the difference to the full step is
+    # the embedding path's time, reported against its descriptor-rate
+    # floor. (Stripping the layer matters: an Overwrite-wrapped state
+    # whose lookup never runs would be assigned a zero cotangent — a
+    # multi-GB memset per step that would pollute the measurement.)
+    def measure_dense_only():
+        import jax
+        import optax
+
+        from keras_rs_tpu import training
+        from keras_rs_tpu.models.dlrm import bce_loss
+
+        _, _, pre, cfg, model = build(
+            "sharded", mesh, batch_size, vocab, dim
+        )
+        acts = jax.jit(lambda m, p: m.embedding_layer(p))(
+            model, pre["large_pre"]
+        )
+        model_d = model.replace(embedding_layer=None)
+        state_d = training.create_train_state(
+            model_d, optax.adagrad(cfg.learning_rate)
+        )
+        batch = {k: v for k, v in pre.items() if k != "large_pre"}
+        batch["large_acts"] = acts
+        step_dense = training.make_train_step(
+            lambda m, b: bce_loss(m, b),
+            optax.adagrad(cfg.learning_rate),
+        )
+        return timed_blocks(step_dense, state_d, batch)
+
+    dense_s = measure_dense_only()
+
+    flops = dense_flops_per_step(cfg, batch_size)
+    mfu_dense = flops / dense_s / PEAK_BF16_FLOPS
+    emb_ms = max((step_s - dense_s) * 1e3, 1e-6)
+    floor_ms = embedding_floor_ms(cfg, batch_size, mesh.devices.size)
+    floor_frac = min(floor_ms / emb_ms, 1.0)
+
+    naive, _, _ = measure("default_device")
 
     print(
         json.dumps(
@@ -175,6 +275,12 @@ def main() -> None:
                 "value": round(ours, 1),
                 "unit": "examples/s",
                 "vs_baseline": round(ours / naive, 3),
+                "step_ms": round(step_s * 1e3, 3),
+                "dense_ms": round(dense_s * 1e3, 3),
+                "mfu_dense": round(mfu_dense, 3),
+                "embedding_ms": round(emb_ms, 3),
+                "embedding_floor_ms": round(floor_ms, 3),
+                "embedding_floor_frac": round(floor_frac, 3),
             }
         )
     )

@@ -1,6 +1,12 @@
 """Basic retrieval: two-tower model + brute-force top-k.
 
-Parity with examples/basic_retrieval.py:218-307 in the reference.
+Parity with examples/basic_retrieval.py:218-307 in the reference (two
+embedding towers trained with an in-batch sampled-softmax loss, then a
+`BruteForceRetrieval` layer attached for inference). The sandbox has no
+network, so instead of MovieLens we train on `synthetic.implicit_feedback`
+— stochastic multimodal user preferences, so recall@10 on HELD-OUT events
+is bounded well below 1.0 and stays discriminative (see the generator's
+docstring). A popularity baseline is printed alongside for scale.
 
 Run: python examples/basic_retrieval.py
 """
@@ -15,11 +21,11 @@ from keras_rs_tpu.data import synthetic
 
 
 def main():
-    num_users, num_items = 500, 200
-    rng = np.random.default_rng(0)
-    # Users like items congruent to them mod num_items.
-    user_ids = rng.integers(0, num_users, size=20_000).astype(np.int32)
-    item_ids = ((user_ids * 7) % num_items).astype(np.int32)
+    num_users, num_items = 500, 1000
+    data = synthetic.implicit_feedback(
+        num_users=num_users, num_items=num_items, num_events=60_000,
+        holdout_per_user=2, seed=0,
+    )
 
     model = models.TwoTower(
         num_users, num_items, embedding_dim=32, key=jax.random.key(0)
@@ -31,21 +37,37 @@ def main():
         )
 
     trainer = training.Trainer(model, optax.adagrad(0.2), loss_fn)
-    data = {"user_id": user_ids, "item_id": item_ids}
+    train = {"user_id": data["user_id"], "item_id": data["item_id"]}
     trainer.fit(
-        lambda: synthetic.batches(data, 512, seed=3),
-        epochs=8,
+        lambda: synthetic.batches(train, 512, seed=3),
+        epochs=20,
         log_every=0,
     )
 
+    # Evaluate on held-out events: was the user's NEXT sampled item in
+    # the top-10? (Stochastic preferences => the ceiling is the top-10
+    # preference mass, not 1.0.)
     retrieval = trainer.model.make_retrieval(k=10)
-    queries = trainer.model.query_tower(jnp.arange(num_users))
+    eval_u = data["eval_user_id"]
+    eval_i = data["eval_item_id"]
+    queries = trainer.model.query_tower(jnp.asarray(eval_u))
     _, top = retrieval(queries)
-    truth = (np.arange(num_users) * 7) % num_items
+    top = np.asarray(top)
     recall_at_10 = float(
-        np.mean([truth[u] in np.asarray(top)[u] for u in range(num_users)])
+        np.mean([eval_i[j] in top[j] for j in range(len(eval_u))])
     )
-    print(f"recall@10: {recall_at_10:.3f}")
+
+    # Popularity baseline: always recommend the 10 globally most common
+    # train items.
+    pop = np.argsort(np.bincount(data["item_id"], minlength=num_items))[
+        -10:
+    ]
+    pop_recall = float(np.mean(np.isin(eval_i, pop)))
+
+    print(
+        f"recall@10: {recall_at_10:.3f} "
+        f"(popularity baseline {pop_recall:.3f})"
+    )
     return recall_at_10
 
 

@@ -2,7 +2,11 @@
 
 Parity with examples/sas_rec.py in the reference (tied item embedding +
 position embedding + causal transformer blocks, contrastive BCE on
-positive/negative sequences).
+positive/negative sequences, ML-1M sessions there). Sessions come from
+`synthetic.markov_sessions` — a noisy transition graph giving next-item
+prediction intrinsic entropy, so held-out recall@10 sits well below 1.0
+and discriminates model quality (the old deterministic +1 sequences
+saturated at recall 1.0).
 
 Run: python examples/sas_rec.py
 """
@@ -13,28 +17,29 @@ import numpy as np
 import optax
 
 from keras_rs_tpu import training
+from keras_rs_tpu.data import synthetic
 from keras_rs_tpu.models.sasrec import SASRec, sasrec_loss
 
-
-def make_data(num_items=100, n=4096, t=20, seed=0):
-    rng = np.random.default_rng(seed)
-    start = rng.integers(1, num_items, size=n)
-    hist = ((start[:, None] + np.arange(t)) % num_items) + 1
-    pos = (hist % num_items) + 1
-    neg = rng.integers(1, num_items + 1, size=hist.shape)
-    neg = np.where(neg == pos, (pos % num_items) + 1, neg)
-    return (
-        hist.astype(np.int32),
-        pos.astype(np.int32),
-        neg.astype(np.int32),
-    )
+NUM_ITEMS = 500
+BRANCHING = 12
+NOISE = 0.2
+T = 20
 
 
 def main():
-    num_items = 100
-    hist, pos, neg = make_data(num_items)
+    seq = synthetic.markov_sessions(
+        num_items=NUM_ITEMS, num_sessions=6144, length=T,
+        branching=BRANCHING, noise=NOISE, seed=0,
+    )
+    rng = np.random.default_rng(1)
+    hist = seq[:, :T]
+    pos = seq[:, 1 : T + 1]  # next item at every position
+    neg = rng.integers(1, NUM_ITEMS + 1, size=pos.shape).astype(np.int32)
+    neg = np.where(neg == pos, (pos % NUM_ITEMS) + 1, neg)
+    n_train = 5120
+
     model = SASRec(
-        vocabulary_size=num_items,
+        vocabulary_size=NUM_ITEMS,
         num_layers=2,
         num_heads=2,
         hidden_dim=64,
@@ -44,25 +49,26 @@ def main():
     trainer = training.Trainer(model, optax.adam(0.005), sasrec_loss)
 
     def data():
-        for i in range(0, len(hist), 256):
+        for i in range(0, n_train, 256):
             yield {
                 "item_history": jnp.asarray(hist[i : i + 256]),
                 "positive_sequence": jnp.asarray(pos[i : i + 256]),
                 "negative_sequence": jnp.asarray(neg[i : i + 256]),
             }
 
-    h = trainer.fit(data, epochs=5, log_every=0)
+    h = trainer.fit(data, epochs=10, log_every=0)
     print(f"loss: {h['loss'][0]:.4f} -> {h['loss'][-1]:.4f}")
 
-    # Next-item accuracy via the tied-embedding retrieval head.
-    user_repr = trainer.model(jnp.asarray(hist[:512]))
+    # Next-item recall on HELD-OUT sessions via the tied-embedding
+    # retrieval head (ceiling ~(1-noise)*10/branching ~= 0.67).
+    user_repr = trainer.model(jnp.asarray(hist[n_train:]))
     retrieval = trainer.model.make_retrieval(k=10)
     _, top = retrieval(user_repr)
-    truth = (hist[:512, -1] % num_items) + 1
-    recall = np.mean(
-        [truth[i] in np.asarray(top)[i] for i in range(512)]
-    )
-    print(f"recall@10: {recall:.3f}")
+    top = np.asarray(top)
+    truth = pos[n_train:, -1]
+    recall = np.mean([truth[i] in top[i] for i in range(len(top))])
+    ceiling = (1 - NOISE) * 10 / BRANCHING
+    print(f"recall@10: {recall:.3f} (task ceiling ~{ceiling:.2f})")
     return recall
 
 

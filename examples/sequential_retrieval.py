@@ -1,7 +1,12 @@
 """Sequential retrieval with GRU4Rec.
 
-Parity with examples/sequential_retrieval.py in the reference (Embedding ->
-GRU query tower, in-batch softmax CCE).
+Parity with examples/sequential_retrieval.py in the reference (Embedding
+-> GRU query tower, in-batch softmax CCE over MovieLens-1M sessions).
+Without network access, sessions come from `synthetic.markov_sessions`:
+a noisy item-transition graph, so next-item prediction has INTRINSIC
+entropy — recall@10 on held-out sessions is bounded by
+~(1 - noise) * 10/branching, not 1.0, and a better sequence model
+genuinely scores higher.
 
 Run: python examples/sequential_retrieval.py
 """
@@ -12,38 +17,44 @@ import numpy as np
 import optax
 
 from keras_rs_tpu import training
+from keras_rs_tpu.data import synthetic
 from keras_rs_tpu.models.gru4rec import GRU4Rec, gru4rec_loss
 
-
-def make_sequences(num_items=200, n=8192, t=10, seed=0):
-    rng = np.random.default_rng(seed)
-    start = rng.integers(1, num_items, size=n)
-    hist = ((start[:, None] + np.arange(t)) % num_items) + 1
-    target = ((start + t) % num_items) + 1
-    return hist.astype(np.int32), target.astype(np.int32)
+NUM_ITEMS = 500
+BRANCHING = 12
+NOISE = 0.2
 
 
 def main():
-    num_items = 200
-    hist, target = make_sequences(num_items)
-    model = GRU4Rec(num_items, embedding_dim=64, key=jax.random.key(0))
+    seq = synthetic.markov_sessions(
+        num_items=NUM_ITEMS, num_sessions=10_240, length=10,
+        branching=BRANCHING, noise=NOISE, seed=0,
+    )
+    hist, target = seq[:, :-1], seq[:, -1]
+    n_train = 8192
+    model = GRU4Rec(NUM_ITEMS, embedding_dim=64, key=jax.random.key(0))
     trainer = training.Trainer(model, optax.adam(0.01), gru4rec_loss)
 
     def data():
-        for i in range(0, len(hist), 256):
+        for i in range(0, n_train, 256):
             yield {
                 "item_history": jnp.asarray(hist[i : i + 256]),
                 "target_item": jnp.asarray(target[i : i + 256]),
             }
 
-    trainer.fit(data, epochs=5, log_every=0)
+    trainer.fit(data, epochs=15, log_every=0)
+
+    # Held-out sessions: the ceiling is (1-noise)*10/branching + eps
+    # ~= 0.67, not 1.0 (see markov_sessions docstring).
     retrieval = trainer.model.make_retrieval(k=10)
-    q = trainer.model.query_tower(jnp.asarray(hist[:1024]))
+    q = trainer.model.query_tower(jnp.asarray(hist[n_train:]))
     top = np.asarray(retrieval(q))
+    held_target = target[n_train:]
     recall = np.mean(
-        [target[i] in top[i] for i in range(len(top))]
+        [held_target[i] in top[i] for i in range(len(top))]
     )
-    print(f"recall@10: {recall:.3f}")
+    ceiling = (1 - NOISE) * 10 / BRANCHING
+    print(f"recall@10: {recall:.3f} (task ceiling ~{ceiling:.2f})")
     return recall
 
 

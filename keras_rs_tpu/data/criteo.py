@@ -67,8 +67,21 @@ class CriteoDataset:
 
     # -- dummy mode ---------------------------------------------------------
     def dummy_batches(
-        self, num_batches: int, seed: int | None = None
+        self,
+        num_batches: int,
+        seed: int | None = None,
+        learnable: bool = True,
     ) -> Iterator[dict[str, np.ndarray]]:
+        """Synthetic batches with the right shapes.
+
+        `learnable=True` (default) draws labels from the deterministic
+        CTR function in `data.synthetic.ctr_labels` — the same latent
+        weights on every host and every batch — so training shows real
+        AUC convergence instead of the 0.5 floor that iid random labels
+        force (those remain available with learnable=False).
+        """
+        from keras_rs_tpu.data import synthetic
+
         rng = np.random.default_rng(
             self.shuffle_seed if seed is None else seed
         )
@@ -78,13 +91,20 @@ class CriteoDataset:
                 "dense": rng.normal(size=(B, NUM_DENSE)).astype(
                     np.float32
                 ),
-                "label": rng.integers(0, 2, size=(B,)).astype(np.float32),
             }
             for i, (v, m) in enumerate(
                 zip(self.vocab_sizes, self.multi_hot_sizes)
             ):
                 batch[f"cat_{i}"] = rng.integers(
                     0, v, size=(B, m), dtype=np.int64
+                )
+            if learnable:
+                batch["label"] = synthetic.ctr_labels(
+                    batch["dense"], batch, self.vocab_sizes, rng=rng
+                )
+            else:
+                batch["label"] = rng.integers(0, 2, size=(B,)).astype(
+                    np.float32
                 )
             yield self._host_shard(batch)
 

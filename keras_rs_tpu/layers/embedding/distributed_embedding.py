@@ -512,8 +512,11 @@ class DistributedEmbedding(Module):
             x = in_leaves[fc.name]
             if x is None:
                 continue
+            # Keep the ACTUAL last-axis length for reduced features: a
+            # densified ragged input may be narrower than the configured
+            # valence (capacities, not shapes, bound the id count).
             target = (
-                (fc.batch_size, fc.valence)
+                (fc.batch_size, x.shape[-1])
                 if fc.reduced
                 else (fc.batch_size,)
             )

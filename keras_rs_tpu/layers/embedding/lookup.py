@@ -34,13 +34,37 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from keras_rs_tpu.layers.embedding.stacking import TableStack
 from keras_rs_tpu.ops.quant import cast_rows_for_storage
-from keras_rs_tpu.ops.row_ops import scatter_rows_unique_multi
+from keras_rs_tpu.ops.row_ops import (
+    scatter_row_blocks_unique,
+    scatter_rows_unique_multi,
+)
 
 
 def init_stack_state(
     stack: TableStack, table: jax.Array
 ) -> dict[str, Any]:
-    """Bundles a stacked table with its optimizer slots and step counter."""
+    """Bundles a stacked table with its optimizer slots and step counter.
+
+    Split layout (default for bf16 / SGD / wide stacks):
+      {"table": [R, dim], "slots": {name: [R, dim]}, "step": []}.
+    Packed layout (`stack.packed_state`): the table row and its slot rows
+    are interleaved as `state_stride` consecutive rows of ONE array —
+      {"table": [R * state_stride, dim], "step": []} —
+    so the backward's update is one contiguous DMA per unique row
+    (ops/row_ops.py scatter_row_blocks). `stacking.gather_table` /
+    `scatter_table` are stride-aware, so export/import sees the same
+    logical [vocab, dim] tables either way.
+    """
+    if stack.packed_state:
+        R, dim = table.shape
+        parts = [table] + [
+            stack.optimizer.init_slot(name, table.shape, table.dtype)
+            for name in stack.optimizer.slot_names
+        ]
+        packed = jnp.stack(parts, axis=1).reshape(
+            R * stack.state_stride, dim
+        )
+        return {"table": packed, "step": jnp.zeros((), jnp.float32)}
     # Optimizer slots stay f32 even for bf16 tables (accumulators need
     # the precision).
     slots = {
@@ -83,6 +107,10 @@ def stack_lookup(
     S_l = stack.num_features * (stack.batch_size // D)
     dim = stack.stack_dim
     optimizer = stack.optimizer
+    # Packed layout: table+slot rows interleaved with this stride (see
+    # init_stack_state); slot ids scale by it on every table access.
+    stride = stack.state_stride
+    packed = stack.packed_state
 
     send_slots = coo["send_slots"]  # [D, D, C] int32, P(axis)
     send_segs = coo["send_segs"]
@@ -101,7 +129,10 @@ def stack_lookup(
         recv_segs = jax.lax.all_to_all(s_segs, axis, 0, 0, tiled=True)
         recv_gains = jax.lax.all_to_all(s_gains, axis, 0, 0, tiled=True)
 
-        rows = jnp.take(table, recv_slots.reshape(-1), axis=0)
+        flat_slots = recv_slots.reshape(-1)
+        if stride != 1:
+            flat_slots = flat_slots * stride
+        rows = jnp.take(table, flat_slots, axis=0)
         contrib = rows.astype(jnp.float32) * recv_gains.reshape(-1, 1)
         src_offsets = (
             jnp.arange(D, dtype=jnp.int32)[:, None] * S_l + recv_segs
@@ -161,6 +192,36 @@ def stack_lookup(
         # padding at the top index): sorted gathers run at HBM speed on
         # TPU (the hint is free; rate is descriptor-bound either way,
         # ~170M rows/s at dim 128 — see ops/row_ops.py).
+        if packed:
+            # One block gather fetches the table row AND its slot rows
+            # ([U, stride, dim] groups, one descriptor each); one block
+            # scatter writes them back (one descriptor each) — the
+            # stride-for-1 descriptor saving that makes this layout the
+            # fastest update path (ops/row_ops.py scatter_row_blocks).
+            local_rows = table.shape[0] // stride
+            blk = jnp.take(
+                table.reshape(local_rows, stride, dim),
+                u_slots,
+                axis=0,
+                indices_are_sorted=True,
+            ).astype(jnp.float32)
+            rows = blk[:, 0]
+            slot_rows = {
+                k: blk[:, 1 + i]
+                for i, k in enumerate(optimizer.slot_names)
+            }
+            new_rows, new_slot_rows = optimizer.apply(
+                rows, row_grads, slot_rows, step
+            )
+            new_blk = jnp.stack(
+                [new_rows]
+                + [new_slot_rows[k] for k in optimizer.slot_names],
+                axis=1,
+            )
+            new_table = scatter_row_blocks_unique(
+                table, u_slots, new_blk
+            )
+            return new_table, {}
         rows = jnp.take(
             table, u_slots, axis=0, indices_are_sorted=True
         ).astype(jnp.float32)
@@ -230,7 +291,7 @@ def stack_lookup(
         ts, r_slots, r_segs, r_gains = res
         new_table, new_slots = bwd_mapped(
             ts["table"],
-            ts["slots"],
+            ts.get("slots", {}),
             ts["step"],
             r_slots,
             r_segs,
@@ -242,9 +303,10 @@ def stack_lookup(
         )
         new_ts = {
             "table": new_table,
-            "slots": new_slots,
             "step": ts["step"] + 1.0,
         }
+        if "slots" in ts:
+            new_ts["slots"] = new_slots
         return (new_ts,)
 
     lookup.defvjp(lookup_fwd, lookup_bwd)

@@ -77,6 +77,21 @@ class TableStack:
     max_ids_per_partition: int  # capacity C of each (src, dst) bucket
     max_unique_ids_per_shard: int  # capacity U of per-shard unique list
     dtype: str = "float32"  # storage dtype (see TableConfig.dtype)
+    #: Row-interleaved state layout: the table row and its optimizer-slot
+    #: rows live as `state_stride` CONSECUTIVE rows of one
+    #: [global_rows * state_stride, dim] array. A one-lane-tile-wide f32
+    #: array is contiguous row-major in HBM, so the backward's
+    #: table+slots update becomes ONE DMA per unique row instead of one
+    #: per stream — the scatter is descriptor-rate bound, so this is the
+    #: single biggest step-time lever (ops/row_ops.py scatter_row_blocks).
+    packed_state: bool = False
+
+    @property
+    def state_stride(self) -> int:
+        """Rows per logical row in the state array (1 + #slots if packed)."""
+        return (
+            1 + len(self.optimizer.slot_names) if self.packed_state else 1
+        )
 
     @property
     def sink_slot(self) -> int:
@@ -238,6 +253,18 @@ def build_stacks(
                 f"shards ({num_shards})."
             )
 
+        optimizer = opt_lib.get(group[0].optimizer)
+        n_slots = len(optimizer.slot_names)
+        # Packed (row-interleaved table+slots) layout whenever the
+        # backward's block DMA applies: f32 state (slots are f32, so a
+        # bf16 table cannot share the buffer), lane-tile-aligned rows,
+        # and the [stride * dim] VMEM block within the Pallas budget.
+        packed = (
+            group[0].dtype == "float32"
+            and n_slots >= 1
+            and stack_dim % 128 == 0
+            and (1 + n_slots) * stack_dim <= 512
+        )
         stacks.append(
             TableStack(
                 name=stack_name,
@@ -246,7 +273,7 @@ def build_stacks(
                 rows_per_shard=offset + 1,  # + sink row
                 tables=tuple(specs),
                 features=tuple(feature_specs),
-                optimizer=opt_lib.get(group[0].optimizer),
+                optimizer=optimizer,
                 max_ids_per_partition=max(
                     t.max_ids_per_partition for t in group
                 ),
@@ -255,6 +282,7 @@ def build_stacks(
                     * num_shards
                 ),
                 dtype=group[0].dtype,
+                packed_state=packed,
             )
         )
     return stacks
@@ -309,14 +337,22 @@ def gather_table(
 ) -> np.ndarray:
     """Unstacks + unshards one table back to [vocab, dim] (host-side).
 
-    Parity with `get_embedding_tables`
-    (jax/distributed_embedding.py:819-840).
+    `stacked` is the stack's state array: [global_rows, dim] for the
+    split layout, [global_rows * state_stride, dim] for the packed
+    layout (table rows at stride intervals). Parity with
+    `get_embedding_tables` (jax/distributed_embedding.py:819-840).
     """
     t = stack.table_spec(table_name)
     D = stack.num_shards
     arr = np.asarray(stacked)
+    # Infer the layout from the row count: a raw table (init_stack_table
+    # output) has global_rows rows; a packed state array has
+    # global_rows * state_stride.
+    stride = arr.shape[0] // stack.global_rows
     r = np.arange(t.vocabulary_size)
-    global_idx = (r % D) * stack.rows_per_shard + t.local_offset + r // D
+    global_idx = (
+        (r % D) * stack.rows_per_shard + t.local_offset + r // D
+    ) * stride
     return arr[global_idx, : t.embedding_dim]
 
 
@@ -326,7 +362,8 @@ def scatter_table(
     table_name: str,
     values: np.ndarray,
 ) -> np.ndarray:
-    """Writes [vocab, dim] values for one table into the stacked layout."""
+    """Writes [vocab, dim] values for one table into the stacked layout
+    (split or packed — slot rows are untouched)."""
     t = stack.table_spec(table_name)
     D = stack.num_shards
     if values.shape != (t.vocabulary_size, t.embedding_dim):
@@ -334,8 +371,11 @@ def scatter_table(
             f"Expected shape {(t.vocabulary_size, t.embedding_dim)}, got "
             f"{values.shape}."
         )
+    stride = stacked.shape[0] // stack.global_rows
     r = np.arange(t.vocabulary_size)
-    global_idx = (r % D) * stack.rows_per_shard + t.local_offset + r // D
+    global_idx = (
+        (r % D) * stack.rows_per_shard + t.local_offset + r // D
+    ) * stride
     out = np.array(stacked)
     out[global_idx, : t.embedding_dim] = values
     return out

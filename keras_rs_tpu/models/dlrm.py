@@ -209,11 +209,15 @@ class DLRMDCNv2(Module):
         dense_out = self.bottom_mlp(batch["dense"])
 
         parts = [dense_out]
-        acts = (
-            self.embedding_layer(batch["large_pre"])
-            if self.embedding_layer is not None
-            else {}
-        )
+        if "large_acts" in batch:
+            # Precomputed embedding activations (used by bench.py's
+            # dense-only roofline measurement): the embedding engine is
+            # bypassed entirely.
+            acts = batch["large_acts"]
+        elif self.embedding_layer is not None:
+            acts = self.embedding_layer(batch["large_pre"])
+        else:
+            acts = {}
         for i in range(len(self.config.vocab_sizes)):
             name = f"cat_{i}"
             if i in self.large_idx:

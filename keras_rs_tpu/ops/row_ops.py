@@ -295,6 +295,128 @@ def _scatter_rows_multi(tables, idx, rows_list, *, interpret=False):
     )(idx, *rows_list, *tables)
 
 
+# --- block scatter: k interleaved rows per logical row, ONE DMA each ----
+#
+# For a dim that is exactly one lane tile wide (dim % 128 == 0 covers it:
+# each 128-lane tile column of an f32 array is stored tile-major, and a
+# [R, 128] array has a single tile column, making the WHOLE array
+# contiguous row-major in HBM). Interleaving the table row and its k-1
+# optimizer-slot rows as k consecutive rows of one [R * k, dim] array
+# therefore makes the whole per-row update one contiguous (k * dim * 4)-
+# byte range: the scatter needs ONE descriptor per logical row instead of
+# k — and the scatter is descriptor-rate bound, so this halves (k=2) the
+# dominant cost of the embedding backward. See scatter_rows docstring for
+# the measured descriptor-rate model.
+
+
+def _make_block_kernel(k: int):
+    def kernel(idx_ref, rows_ref, table_ref, out_ref, sems):
+        # idx_ref holds PRE-MULTIPLIED indices (logical_row * k).
+        del table_ref
+        ngroups = BLOCK_ROWS // _UNROLL
+
+        def dma(j):
+            return pltpu.make_async_copy(
+                rows_ref.at[j],  # [k, dim]
+                out_ref.at[pl.ds(idx_ref[j], k)],
+                sems.at[j % _NSEM],
+            )
+
+        def put(g):
+            for u in range(_UNROLL):
+                dma(g * _UNROLL + u).start()
+
+        def wait(g):
+            for u in range(_UNROLL):
+                dma(g * _UNROLL + u).wait()
+
+        for g in range(_INFLIGHT_GROUPS):
+            put(g)
+
+        def body(g, _):
+            wait(g)
+
+            @pl.when(g + _INFLIGHT_GROUPS < ngroups)
+            def _():
+                put(g + _INFLIGHT_GROUPS)
+
+            return 0
+
+        jax.lax.fori_loop(0, ngroups, body, 0)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret",), donate_argnums=(0,)
+)
+def scatter_row_blocks(
+    packed: jax.Array,  # [R * k, dim] (HBM, donated -> updated in place)
+    idx: jax.Array,  # [N] int32 LOGICAL row ids, unique
+    blocks: jax.Array,  # [N, k, dim] new (table row, slot rows...) groups
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """packed[idx[i]*k : idx[i]*k + k] = blocks[i], one DMA per i."""
+    N, k, dim = blocks.shape
+    R = packed.shape[0]
+    if N == 0:
+        return packed
+    Np = _round_up(max(N, BLOCK_ROWS), BLOCK_ROWS)
+    if Np != N:
+        pad_idx = idx[N - 1]
+        idx = jnp.concatenate([idx, jnp.broadcast_to(pad_idx, (Np - N,))])
+        blocks = jnp.concatenate(
+            [blocks, jnp.broadcast_to(blocks[N - 1], (Np - N, k, dim))]
+        )
+    idx = idx.astype(jnp.int32) * k  # pre-scale: no scalar mul per DMA
+
+    return pl.pallas_call(
+        _make_block_kernel(k),
+        grid=(Np // BLOCK_ROWS,),
+        in_specs=[
+            pl.BlockSpec(
+                (BLOCK_ROWS,), lambda i: (i,), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (BLOCK_ROWS, k, dim),
+                lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((R, dim), packed.dtype),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((_NSEM,))],
+        input_output_aliases={2: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(idx, blocks, packed)
+
+
+def scatter_row_blocks_unique(
+    packed: jax.Array,
+    idx: jax.Array,
+    blocks: jax.Array,
+    *,
+    use_pallas: bool | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Backend-selecting k-row block scatter (Pallas on TPU, XLA else)."""
+    blocks = blocks.astype(packed.dtype)
+    k, dim = blocks.shape[1], blocks.shape[2]
+    if use_pallas is None:
+        # VMEM block is [BLOCK_ROWS, k, dim]; reuse the row-width budget.
+        use_pallas = pallas_supported(dim) and k * dim <= MAX_PALLAS_DIM
+    if use_pallas:
+        return scatter_row_blocks(packed, idx, blocks, interpret=interpret)
+    R = packed.shape[0] // k
+    out3 = packed.reshape(R, k, dim).at[idx].set(
+        blocks, unique_indices=True
+    )
+    return out3.reshape(R * k, dim)
+
+
 def scatter_rows_unique_multi(
     tables: list[jax.Array],
     idx: jax.Array,

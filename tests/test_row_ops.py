@@ -118,3 +118,115 @@ def test_single_scatter_unique_xla_path():
         np.asarray(got),
         np.asarray(table.at[idx].set(rows, unique_indices=True)),
     )
+
+
+# --- block scatter (packed table+slot layout) ---------------------------
+def test_block_scatter_interpret_matches_xla():
+    from keras_rs_tpu.ops.row_ops import scatter_row_blocks_unique
+
+    rng = np.random.default_rng(3)
+    R, N, k, dim = 4096, 100, 2, 128
+    packed = jnp.asarray(
+        rng.standard_normal((R * k, dim)).astype(np.float32)
+    )
+    idx = jnp.asarray(
+        np.sort(rng.choice(R, N, replace=False)).astype(np.int32)
+    )
+    blocks = jnp.asarray(
+        rng.standard_normal((N, k, dim)).astype(np.float32)
+    )
+    exp = (
+        packed.reshape(R, k, dim)
+        .at[idx]
+        .set(blocks, unique_indices=True)
+        .reshape(R * k, dim)
+    )
+    exp = np.asarray(exp)
+    got = scatter_row_blocks_unique(
+        packed, idx, blocks, use_pallas=True, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(exp))
+
+
+def test_block_scatter_xla_fallback():
+    from keras_rs_tpu.ops.row_ops import scatter_row_blocks_unique
+
+    rng = np.random.default_rng(4)
+    R, N, k, dim = 256, 9, 3, 128
+    packed = jnp.zeros((R * k, dim))
+    idx = jnp.asarray(
+        np.sort(rng.choice(R, N, replace=False)).astype(np.int32)
+    )
+    blocks = jnp.asarray(
+        rng.standard_normal((N, k, dim)).astype(np.float32)
+    )
+    got = scatter_row_blocks_unique(packed, idx, blocks, use_pallas=False)
+    got3 = np.asarray(got).reshape(R, k, dim)
+    np.testing.assert_array_equal(got3[np.asarray(idx)], np.asarray(blocks))
+    mask = np.ones(R, bool)
+    mask[np.asarray(idx)] = False
+    assert (got3[mask] == 0).all()
+
+
+def test_packed_vs_split_layout_training_equivalence():
+    """The packed (row-interleaved) state layout must train bit-for-bit
+    like the split layout: same activations, same post-step tables."""
+    import dataclasses
+
+    import jax
+
+    from keras_rs_tpu.layers.embedding.config import (
+        FeatureConfig,
+        TableConfig,
+    )
+    from keras_rs_tpu.layers.embedding.lookup import (
+        init_stack_state,
+        split_activations,
+        stack_lookup,
+    )
+    from keras_rs_tpu.layers.embedding.stacking import (
+        build_stacks,
+        gather_table,
+        init_stack_table,
+    )
+    from keras_rs_tpu.layers.embedding.preprocessing import (
+        preprocess_stack,
+    )
+    from keras_rs_tpu.parallel import mesh as mesh_lib
+
+    B, dim = 16, 128
+    mesh = mesh_lib.create_mesh()
+    t = TableConfig(
+        "t", 640, dim, optimizer="adagrad", combiner="mean",
+        placement="sharded", max_ids_per_partition=32,
+        max_unique_ids_per_partition=32,
+    )
+    fc = FeatureConfig("f", t, (B, 4), (B, dim))
+    (stack,) = build_stacks([fc], 8)
+    assert stack.packed_state and stack.state_stride == 2
+    split_stack = dataclasses.replace(stack, packed_state=False)
+
+    table0 = init_stack_table(
+        stack, {"t": t}, jax.random.key(1), jnp.float32
+    )
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 640, size=(B, 4))
+    coo, _ = preprocess_stack(stack, {"f": ids})
+    coo_arrays = {k: jnp.asarray(v) for k, v in coo.arrays().items()}
+
+    def one_step(stk):
+        state = init_stack_state(stk, table0)
+
+        def loss(s):
+            acts = stack_lookup(stk, mesh, "data", s, coo_arrays)
+            f = split_activations(stk, acts)["f"]
+            return jnp.sum(f * f)
+
+        fwd = float(loss(state))
+        new_state = jax.jit(jax.grad(loss))(state)
+        return fwd, gather_table(stk, np.asarray(new_state["table"]), "t")
+
+    fwd_p, table_p = one_step(stack)
+    fwd_s, table_s = one_step(split_stack)
+    np.testing.assert_allclose(fwd_p, fwd_s, rtol=1e-6)
+    np.testing.assert_array_equal(table_p, table_s)
