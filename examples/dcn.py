@@ -3,7 +3,8 @@
 Parity with examples/dcn.py in the reference: synthetic data with known
 feature crosses, comparing (a) stacked full-rank FeatureCross, (b)
 low-rank FeatureCross, (c) deep-only MLP, with the RMSE mean +- std
-protocol over multiple runs (examples/dcn.py:460-521).
+protocol over 10 runs (examples/dcn.py:460-521, same run count
+as the reference).
 
 Run: python examples/dcn.py
 """
@@ -71,7 +72,7 @@ def run_once(kind, seed):
     return float(np.sqrt(np.mean((pred - yt) ** 2)))
 
 
-def main(num_runs=3):
+def main(num_runs=10):
     results = {}
     for kind in ("cross_full", "cross_lowrank", "deep_only"):
         rmses = [run_once(kind, s) for s in range(num_runs)]

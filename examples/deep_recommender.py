@@ -85,11 +85,19 @@ class DeepRecommender(Module):
 def main():
     num_users, num_items, num_genres, dim = 400, 150, 12, 32
     rng = np.random.default_rng(0)
-    n = 20_000
-    user_ids = rng.integers(0, num_users, size=n).astype(np.int32)
+    # Stochastic multimodal preferences with a held-out eval split:
+    # recall@10 sits below the top-10 preference-mass ceiling instead of
+    # saturating at 1.0 (see synthetic.implicit_feedback).
+    from keras_rs_tpu.data import synthetic
+
+    fb = synthetic.implicit_feedback(
+        num_users=num_users, num_items=num_items, num_events=20_000,
+        holdout_per_user=2, seed=0,
+    )
+    user_ids, item_ids = fb["user_id"], fb["item_id"]
+    n = len(user_ids)
     ages = rng.uniform(18, 80, size=n).astype(np.float32)
     age_bucket = bucketize(ages, np.linspace(20, 70, 9))
-    item_ids = ((user_ids * 13) % num_items).astype(np.int32)
     item_genres = rng.integers(
         0, num_genres, size=(num_items, 3)
     ).astype(np.int32)
@@ -164,11 +172,11 @@ def main():
         ),
     )
     _, top = retrieval(q)
-    truth = (np.arange(num_users) * 13) % num_items
-    recall = float(
-        np.mean([truth[u] in np.asarray(top)[u]
-                 for u in range(num_users)])
-    )
+    # Held-out events of each user (age features are query-side noise
+    # here; preference comes from the latent factors).
+    top = np.asarray(top)
+    eu, ei = fb["eval_user_id"], fb["eval_item_id"]
+    recall = float(np.mean([ei[j] in top[eu[j]] for j in range(len(eu))]))
     print(f"recall@10: {recall:.3f}")
     return recall
 

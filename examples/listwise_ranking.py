@@ -27,9 +27,12 @@ def make_lists(data, list_size=5, num_lists=2000, seed=0):
     rng2 = np.random.default_rng(0)
     u_f = rng2.normal(size=(200, 4)) / 2.0
     i_f = rng2.normal(size=(100, 4)) / 2.0
+    # Substantial rating noise (sigma 0.5 on a [0, 5] scale): the ideal
+    # ranking is only partially recoverable, so NDCG@5 on held-out lists
+    # lands off the 1.0 ceiling and separates the losses.
     labels = np.einsum(
         "ld,lkd->lk", u_f[users], i_f[items]
-    ) + 0.05 * rng.normal(size=items.shape)
+    ) + 0.25 * rng.normal(size=items.shape)
     labels = np.clip(2.5 + 2 * labels, 0, 5).astype(np.float32)
     return users, items, labels
 
@@ -60,12 +63,11 @@ def train(loss_obj, users, items, labels):
             )
 
     trainer.fit(data, epochs=10, log_every=0)
-    # NDCG@5 on the training lists (protocol demo).
+    # NDCG@5 on HELD-OUT lists from the same latent structure.
+    eu, ei, ey = make_lists(None, num_lists=500, seed=7)
     m = metrics.NDCG(k=5, shuffle_ties=False)
-    scores = item_scores(
-        trainer.model, jnp.asarray(users), jnp.asarray(items)
-    )
-    m.update_state(jnp.asarray(labels), scores)
+    scores = item_scores(trainer.model, jnp.asarray(eu), jnp.asarray(ei))
+    m.update_state(jnp.asarray(ey), scores)
     return float(m.result())
 
 
