@@ -243,9 +243,13 @@ def main() -> None:
         _, _, pre, cfg, model = build(
             "sharded", mesh, batch_size, vocab, dim
         )
-        acts = jax.jit(lambda m, p: m.embedding_layer(p))(
-            model, pre["large_pre"]
-        )
+        # `pre` is the RAW id batch (preprocessing runs in-step on
+        # device); run preprocess+lookup once to get the activations.
+        acts = jax.jit(
+            lambda m, b: m.embedding_layer(
+                m.preprocess_on_device(b)["large_pre"]
+            )
+        )(model, pre)
         model_d = model.replace(embedding_layer=None)
         state_d = training.create_train_state(
             model_d, optax.adagrad(cfg.learning_rate)

@@ -63,6 +63,7 @@ def implicit_feedback(
     temperature: float = 8.0,
     holdout_per_user: int = 2,
     seed: int = 0,
+    with_ratings: bool = False,
 ) -> dict[str, np.ndarray]:
     """Stochastic implicit-feedback events with a train/eval split.
 
@@ -93,12 +94,28 @@ def implicit_feedback(
     eval_users = np.repeat(np.arange(num_users), holdout_per_user)
     r_eval = rng.random(len(eval_users))
     eval_items = (cdf[eval_users] < r_eval[:, None]).sum(axis=1)
-    return {
+    out = {
         "user_id": user_ids.astype(np.int32),
         "item_id": item_ids.astype(np.int32),
         "eval_user_id": eval_users.astype(np.int32),
         "eval_item_id": eval_items.astype(np.int32),
     }
+    if with_ratings:
+        # Ratings from the SAME latent affinity that drives the item
+        # choice (plus noise): a multi-task dataset where the retrieval
+        # and ranking signals share structure, like real watch+rating
+        # logs — training one task genuinely transfers to the other.
+        aff = np.sum(u[user_ids] * v[item_ids], axis=-1)
+        out["rating"] = np.clip(
+            2.75 + 6.0 * aff + 0.3 * rng.normal(size=num_events), 0.5, 5.0
+        ).astype(np.float32)
+        aff_e = np.sum(u[eval_users] * v[eval_items], axis=-1)
+        out["eval_rating"] = np.clip(
+            2.75 + 6.0 * aff_e + 0.3 * rng.normal(size=len(eval_users)),
+            0.5,
+            5.0,
+        ).astype(np.float32)
+    return out
 
 
 def markov_sessions(

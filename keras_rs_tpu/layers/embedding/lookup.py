@@ -48,22 +48,22 @@ def init_stack_state(
     Split layout (default for bf16 / SGD / wide stacks):
       {"table": [R, dim], "slots": {name: [R, dim]}, "step": []}.
     Packed layout (`stack.packed_state`): the table row and its slot rows
-    are interleaved as `state_stride` consecutive rows of ONE array —
-      {"table": [R * state_stride, dim], "step": []} —
-    so the backward's update is one contiguous DMA per unique row
-    (ops/row_ops.py scatter_row_blocks). `stacking.gather_table` /
-    `scatter_table` are stride-aware, so export/import sees the same
-    logical [vocab, dim] tables either way.
+    form the [state_stride, dim] groups of ONE 3-D array —
+      {"table": [R, state_stride, dim], "step": []} —
+    so the backward fetches table+slots with one block gather (HBM
+    byte-bound) and writes them back with one DMA per unique row
+    (ops/row_ops.py scatter_row_blocks). The array must stay 3-D end to
+    end — reshaping it breaks XLA's in-place aliasing and costs a full
+    table copy per step. `stacking.gather_table` / `scatter_table` are
+    layout-aware, so export/import sees the same logical [vocab, dim]
+    tables either way.
     """
     if stack.packed_state:
-        R, dim = table.shape
         parts = [table] + [
             stack.optimizer.init_slot(name, table.shape, table.dtype)
             for name in stack.optimizer.slot_names
         ]
-        packed = jnp.stack(parts, axis=1).reshape(
-            R * stack.state_stride, dim
-        )
+        packed = jnp.stack(parts, axis=1)  # [R, stride, dim]
         return {"table": packed, "step": jnp.zeros((), jnp.float32)}
     # Optimizer slots stay f32 even for bf16 tables (accumulators need
     # the precision).
@@ -130,9 +130,14 @@ def stack_lookup(
         recv_gains = jax.lax.all_to_all(s_gains, axis, 0, 0, tiled=True)
 
         flat_slots = recv_slots.reshape(-1)
-        if stride != 1:
-            flat_slots = flat_slots * stride
-        rows = jnp.take(table, flat_slots, axis=0)
+        if packed:
+            # Axis-0 block gather on the 3-D state ([stride, dim] per
+            # index) runs at HBM byte speed — faster than a row gather
+            # even though it fetches the slot rows too (row gathers are
+            # descriptor-bound; see ops/row_ops.py).
+            rows = jnp.take(table, flat_slots, axis=0)[:, 0]
+        else:
+            rows = jnp.take(table, flat_slots, axis=0)
         contrib = rows.astype(jnp.float32) * recv_gains.reshape(-1, 1)
         src_offsets = (
             jnp.arange(D, dtype=jnp.int32)[:, None] * S_l + recv_segs
@@ -194,13 +199,14 @@ def stack_lookup(
         # ~170M rows/s at dim 128 — see ops/row_ops.py).
         if packed:
             # One block gather fetches the table row AND its slot rows
-            # ([U, stride, dim] groups, one descriptor each); one block
-            # scatter writes them back (one descriptor each) — the
-            # stride-for-1 descriptor saving that makes this layout the
-            # fastest update path (ops/row_ops.py scatter_row_blocks).
-            local_rows = table.shape[0] // stride
+            # ([U, stride, dim] groups, HBM byte-bound); one block
+            # scatter writes them back (one DMA each) — the stride-for-1
+            # descriptor saving that makes this layout the fastest
+            # update path (ops/row_ops.py scatter_row_blocks). No
+            # reshape: the 3-D array must flow straight from gather to
+            # the aliased scatter or XLA inserts a full-table copy.
             blk = jnp.take(
-                table.reshape(local_rows, stride, dim),
+                table,
                 u_slots,
                 axis=0,
                 indices_are_sorted=True,

@@ -77,13 +77,14 @@ class TableStack:
     max_ids_per_partition: int  # capacity C of each (src, dst) bucket
     max_unique_ids_per_shard: int  # capacity U of per-shard unique list
     dtype: str = "float32"  # storage dtype (see TableConfig.dtype)
-    #: Row-interleaved state layout: the table row and its optimizer-slot
-    #: rows live as `state_stride` CONSECUTIVE rows of one
-    #: [global_rows * state_stride, dim] array. A one-lane-tile-wide f32
-    #: array is contiguous row-major in HBM, so the backward's
-    #: table+slots update becomes ONE DMA per unique row instead of one
-    #: per stream — the scatter is descriptor-rate bound, so this is the
-    #: single biggest step-time lever (ops/row_ops.py scatter_row_blocks).
+    #: Packed state layout: the table row and its optimizer-slot rows
+    #: form the [state_stride, dim] groups of one 3-D
+    #: [global_rows, state_stride, dim] array. A one-lane-tile-wide f32
+    #: array is contiguous row-major in HBM, so each group is one
+    #: contiguous byte range: the backward's table+slots update is ONE
+    #: DMA per unique row instead of one per stream, and the fetch is a
+    #: byte-bound block gather — the single biggest step-time lever
+    #: (ops/row_ops.py scatter_row_blocks).
     packed_state: bool = False
 
     @property
@@ -345,14 +346,12 @@ def gather_table(
     t = stack.table_spec(table_name)
     D = stack.num_shards
     arr = np.asarray(stacked)
-    # Infer the layout from the row count: a raw table (init_stack_table
-    # output) has global_rows rows; a packed state array has
-    # global_rows * state_stride.
-    stride = arr.shape[0] // stack.global_rows
+    if arr.ndim == 3:
+        # Packed 3-D state [global_rows, stride, dim]: table rows are
+        # the leading row of each group.
+        arr = arr[:, 0, :]
     r = np.arange(t.vocabulary_size)
-    global_idx = (
-        (r % D) * stack.rows_per_shard + t.local_offset + r // D
-    ) * stride
+    global_idx = (r % D) * stack.rows_per_shard + t.local_offset + r // D
     return arr[global_idx, : t.embedding_dim]
 
 
@@ -371,11 +370,11 @@ def scatter_table(
             f"Expected shape {(t.vocabulary_size, t.embedding_dim)}, got "
             f"{values.shape}."
         )
-    stride = stacked.shape[0] // stack.global_rows
     r = np.arange(t.vocabulary_size)
-    global_idx = (
-        (r % D) * stack.rows_per_shard + t.local_offset + r // D
-    ) * stride
+    global_idx = (r % D) * stack.rows_per_shard + t.local_offset + r // D
     out = np.array(stacked)
-    out[global_idx, : t.embedding_dim] = values
+    if out.ndim == 3:  # packed: write the table row of each group
+        out[global_idx, 0, : t.embedding_dim] = values
+    else:
+        out[global_idx, : t.embedding_dim] = values
     return out

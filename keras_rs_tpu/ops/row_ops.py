@@ -295,69 +295,68 @@ def _scatter_rows_multi(tables, idx, rows_list, *, interpret=False):
     )(idx, *rows_list, *tables)
 
 
-# --- block scatter: k interleaved rows per logical row, ONE DMA each ----
+# --- block scatter: [k, dim] row groups, ONE DMA each -------------------
 #
-# For a dim that is exactly one lane tile wide (dim % 128 == 0 covers it:
-# each 128-lane tile column of an f32 array is stored tile-major, and a
-# [R, 128] array has a single tile column, making the WHOLE array
-# contiguous row-major in HBM). Interleaving the table row and its k-1
-# optimizer-slot rows as k consecutive rows of one [R * k, dim] array
-# therefore makes the whole per-row update one contiguous (k * dim * 4)-
-# byte range: the scatter needs ONE descriptor per logical row instead of
-# k — and the scatter is descriptor-rate bound, so this halves (k=2) the
-# dominant cost of the embedding backward. See scatter_rows docstring for
-# the measured descriptor-rate model.
+# The packed table+slot state is a 3-D [R, k, dim] array: row r's table
+# row and its k-1 optimizer-slot rows live as the k consecutive rows of
+# packed[r]. For dim % 128 == 0 an f32 array is one lane-tile column
+# wide, so packed[r] is one contiguous (k*dim*4)-byte range in HBM: the
+# update scatter needs ONE descriptor per logical row instead of one per
+# stream, and the backward fetch of table+slots becomes a single axis-0
+# block gather — which XLA executes at HBM BYTE speed (measured 0.076 ms
+# for 40960 x [2,128] blocks vs 0.436 ms for two row gathers).
+#
+# The state MUST stay 3-D end to end: a reshape between the gather and
+# the aliased pallas_call breaks XLA's buffer aliasing and silently
+# inserts a full-table copy per step (measured 21 ms/step — see
+# tools/validate_block_rmw.py history).
 
 
-def _make_block_kernel(k: int):
-    def kernel(idx_ref, rows_ref, table_ref, out_ref, sems):
-        # idx_ref holds PRE-MULTIPLIED indices (logical_row * k).
-        del table_ref
-        ngroups = BLOCK_ROWS // _UNROLL
+def _block_kernel(idx_ref, rows_ref, table_ref, out_ref, sems):
+    del table_ref
+    ngroups = BLOCK_ROWS // _UNROLL
 
-        def dma(j):
-            return pltpu.make_async_copy(
-                rows_ref.at[j],  # [k, dim]
-                out_ref.at[pl.ds(idx_ref[j], k)],
-                sems.at[j % _NSEM],
-            )
+    def dma(j):
+        return pltpu.make_async_copy(
+            rows_ref.at[j],  # [k, dim]
+            out_ref.at[idx_ref[j]],  # [k, dim] group of the 3-D table
+            sems.at[j % _NSEM],
+        )
 
-        def put(g):
-            for u in range(_UNROLL):
-                dma(g * _UNROLL + u).start()
+    def put(g):
+        for u in range(_UNROLL):
+            dma(g * _UNROLL + u).start()
 
-        def wait(g):
-            for u in range(_UNROLL):
-                dma(g * _UNROLL + u).wait()
+    def wait(g):
+        for u in range(_UNROLL):
+            dma(g * _UNROLL + u).wait()
 
-        for g in range(_INFLIGHT_GROUPS):
-            put(g)
+    for g in range(_INFLIGHT_GROUPS):
+        put(g)
 
-        def body(g, _):
-            wait(g)
+    def body(g, _):
+        wait(g)
 
-            @pl.when(g + _INFLIGHT_GROUPS < ngroups)
-            def _():
-                put(g + _INFLIGHT_GROUPS)
+        @pl.when(g + _INFLIGHT_GROUPS < ngroups)
+        def _():
+            put(g + _INFLIGHT_GROUPS)
 
-            return 0
+        return 0
 
-        jax.lax.fori_loop(0, ngroups, body, 0)
-
-    return kernel
+    jax.lax.fori_loop(0, ngroups, body, 0)
 
 
 @functools.partial(
     jax.jit, static_argnames=("interpret",), donate_argnums=(0,)
 )
 def scatter_row_blocks(
-    packed: jax.Array,  # [R * k, dim] (HBM, donated -> updated in place)
-    idx: jax.Array,  # [N] int32 LOGICAL row ids, unique
+    packed: jax.Array,  # [R, k, dim] (HBM, donated -> updated in place)
+    idx: jax.Array,  # [N] int32 logical row ids, unique
     blocks: jax.Array,  # [N, k, dim] new (table row, slot rows...) groups
     *,
     interpret: bool = False,
 ) -> jax.Array:
-    """packed[idx[i]*k : idx[i]*k + k] = blocks[i], one DMA per i."""
+    """packed[idx[i]] = blocks[i] ([k, dim] groups), one DMA per i."""
     N, k, dim = blocks.shape
     R = packed.shape[0]
     if N == 0:
@@ -369,10 +368,10 @@ def scatter_row_blocks(
         blocks = jnp.concatenate(
             [blocks, jnp.broadcast_to(blocks[N - 1], (Np - N, k, dim))]
         )
-    idx = idx.astype(jnp.int32) * k  # pre-scale: no scalar mul per DMA
+    idx = idx.astype(jnp.int32)
 
     return pl.pallas_call(
-        _make_block_kernel(k),
+        _block_kernel,
         grid=(Np // BLOCK_ROWS,),
         in_specs=[
             pl.BlockSpec(
@@ -386,7 +385,7 @@ def scatter_row_blocks(
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((R, dim), packed.dtype),
+        out_shape=jax.ShapeDtypeStruct((R, k, dim), packed.dtype),
         scratch_shapes=[pltpu.SemaphoreType.DMA((_NSEM,))],
         input_output_aliases={2: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -395,7 +394,7 @@ def scatter_row_blocks(
 
 
 def scatter_row_blocks_unique(
-    packed: jax.Array,
+    packed: jax.Array,  # [R, k, dim]
     idx: jax.Array,
     blocks: jax.Array,
     *,
@@ -410,11 +409,7 @@ def scatter_row_blocks_unique(
         use_pallas = pallas_supported(dim) and k * dim <= MAX_PALLAS_DIM
     if use_pallas:
         return scatter_row_blocks(packed, idx, blocks, interpret=interpret)
-    R = packed.shape[0] // k
-    out3 = packed.reshape(R, k, dim).at[idx].set(
-        blocks, unique_indices=True
-    )
-    return out3.reshape(R * k, dim)
+    return packed.at[idx].set(blocks, unique_indices=True)
 
 
 def scatter_rows_unique_multi(

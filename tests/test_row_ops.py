@@ -127,7 +127,7 @@ def test_block_scatter_interpret_matches_xla():
     rng = np.random.default_rng(3)
     R, N, k, dim = 4096, 100, 2, 128
     packed = jnp.asarray(
-        rng.standard_normal((R * k, dim)).astype(np.float32)
+        rng.standard_normal((R, k, dim)).astype(np.float32)
     )
     idx = jnp.asarray(
         np.sort(rng.choice(R, N, replace=False)).astype(np.int32)
@@ -135,17 +135,13 @@ def test_block_scatter_interpret_matches_xla():
     blocks = jnp.asarray(
         rng.standard_normal((N, k, dim)).astype(np.float32)
     )
-    exp = (
-        packed.reshape(R, k, dim)
-        .at[idx]
-        .set(blocks, unique_indices=True)
-        .reshape(R * k, dim)
+    exp = np.asarray(
+        packed.at[idx].set(blocks, unique_indices=True)
     )
-    exp = np.asarray(exp)
     got = scatter_row_blocks_unique(
         packed, idx, blocks, use_pallas=True, interpret=True
     )
-    np.testing.assert_array_equal(np.asarray(got), np.asarray(exp))
+    np.testing.assert_array_equal(np.asarray(got), exp)
 
 
 def test_block_scatter_xla_fallback():
@@ -153,7 +149,7 @@ def test_block_scatter_xla_fallback():
 
     rng = np.random.default_rng(4)
     R, N, k, dim = 256, 9, 3, 128
-    packed = jnp.zeros((R * k, dim))
+    packed = jnp.zeros((R, k, dim))
     idx = jnp.asarray(
         np.sort(rng.choice(R, N, replace=False)).astype(np.int32)
     )
@@ -161,7 +157,7 @@ def test_block_scatter_xla_fallback():
         rng.standard_normal((N, k, dim)).astype(np.float32)
     )
     got = scatter_row_blocks_unique(packed, idx, blocks, use_pallas=False)
-    got3 = np.asarray(got).reshape(R, k, dim)
+    got3 = np.asarray(got)
     np.testing.assert_array_equal(got3[np.asarray(idx)], np.asarray(blocks))
     mask = np.ones(R, bool)
     mask[np.asarray(idx)] = False
