@@ -6,20 +6,34 @@ import sys
 import pytest
 
 
-def run_example(module, *args, timeout=600):
-    return subprocess.run(
-        [sys.executable, "-m", module, *args],
-        capture_output=True,
-        text=True,
-        cwd="/root/repo",
-        timeout=timeout,
-        env={
-            "JAX_PLATFORMS": "cpu",
-            "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
-            "PATH": "/usr/bin:/bin:/usr/local/bin",
-            "PYTHONPATH": "/root/repo",
-        },
-    )
+def run_example(module, *args, timeout=600, attempts=3):
+    """Runs one example in a subprocess on the 8-device CPU mesh.
+
+    Retries on XLA's CPU collective-rendezvous abort: with 8 virtual
+    devices on one physical CPU, a loaded machine can starve a
+    collective's participant threads past the hardcoded 40 s rendezvous
+    termination timeout, and XLA kills the whole process (rendezvous.cc
+    "Termination timeout ... exceeded"). That is machine load, not a
+    code failure — genuine failures don't match the marker and are
+    reported on the first attempt.
+    """
+    for attempt in range(attempts):
+        r = subprocess.run(
+            [sys.executable, "-m", module, *args],
+            capture_output=True,
+            text=True,
+            cwd="/root/repo",
+            timeout=timeout,
+            env={
+                "JAX_PLATFORMS": "cpu",
+                "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+                "PATH": "/usr/bin:/bin:/usr/local/bin",
+                "PYTHONPATH": "/root/repo",
+            },
+        )
+        if r.returncode == 0 or "rendezvous" not in (r.stderr or ""):
+            return r
+    return r
 
 
 def test_ml_perf_configs_integrity():
