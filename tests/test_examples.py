@@ -106,6 +106,25 @@ def test_ml_perf_tfrecord_train_and_val(tmp_path):
     assert "results" in r.stderr or "results" in r.stdout
 
 
+def test_ml_perf_auc_convergence():
+    """The learnable-CTR dummy mode must show real AUC convergence
+    (quality evidence with headroom — random labels would pin 0.50;
+    the deterministic label function makes >0.60 reachable in a few
+    hundred smoke-config steps)."""
+    import json
+    import re
+
+    r = run_example(
+        "examples.ml_perf.main", "--config", "smoke_test",
+        "--num_steps", "300", timeout=900,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    m = re.search(r"results: (\{.*\})", r.stderr + r.stdout)
+    assert m, (r.stderr + r.stdout)[-2000:]
+    results = json.loads(m.group(1).replace("'", '"'))
+    assert results["auc"] > 0.60, results
+
+
 def test_data_parallel_retrieval_example():
     r = run_example("examples.data_parallel_retrieval")
     assert r.returncode == 0, r.stderr[-3000:]
