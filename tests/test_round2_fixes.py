@@ -368,3 +368,34 @@ class TestChunkedScoreGuard:
         layer = self.Cosine(cands, k=4, chunk_size=16)
         with pytest.raises(ValueError, match="dot-product"):
             layer(rng.normal(size=(4, 8)).astype(np.float32))
+
+
+class TestPackedStateCheckpoint:
+    def test_packed_3d_state_orbax_round_trip(self, tmp_path):
+        """The 3-D packed table+slot state must round-trip bit-exactly
+        through Orbax with its row sharding intact."""
+        from keras_rs_tpu.training.checkpoint import (
+            restore_checkpoint,
+            save_checkpoint,
+        )
+
+        t = TableConfig(
+            "t", 256, 128, optimizer="adam", combiner="sum",
+            placement="sharded", max_ids_per_partition=64,
+            max_unique_ids_per_partition=64,
+        )
+        fc = FeatureConfig("f", t, (B, 2), (B, 128))
+        layer = DistributedEmbedding([fc], key=jax.random.key(3))
+        stack = layer.stacks[0]
+        assert stack.packed_state and stack.state_stride == 3  # adam
+        state = layer.state.value[stack.name]
+        assert state["table"].ndim == 3
+
+        save_checkpoint(str(tmp_path / "ckpt"), state)
+        restored = restore_checkpoint(str(tmp_path / "ckpt"), state)
+        np.testing.assert_array_equal(
+            np.asarray(state["table"]), np.asarray(restored["table"])
+        )
+        assert (
+            restored["table"].sharding == state["table"].sharding
+        )
