@@ -87,6 +87,8 @@ def build(placement: str, mesh, batch_size: int, vocab: int, dim: int):
 #: matmul peak and the descriptor-rate floors of the scattered-row path.
 PEAK_BF16_FLOPS = 145e12
 GATHER_ROWS_PER_S = 170e6  # XLA row gather, dim 128 (sorted==unsorted)
+BLOCK_GATHER_BYTES_PER_S = 550e9  # axis-0 [stride, dim] block gather:
+#   measured ~HBM byte speed (0.076 ms for 40960 x 1 KB blocks)
 SCATTER_DESC_PER_S = 40e6  # Pallas row/block DMA issue rate
 SEGSUM_MS = 0.3  # fwd+bwd segment-sums + combiner math at bench shape
 
@@ -126,9 +128,14 @@ def embedding_floor_ms(cfg, batch_size: int, num_shards: int) -> float:
         if v >= cfg.embedding_threshold
     ) * batch_size
     unique = entries  # uniform synthetic ids: ~no dedup at bench shape
-    fwd_gather = entries / GATHER_ROWS_PER_S
+    # Packed layout: fwd fetch and the bwd table+slot fetch are axis-0
+    # block gathers (stride 2 for Adagrad) at HBM byte speed; the bwd
+    # grad gather stays a dim-wide row gather at the descriptor rate;
+    # the update scatter is one DMA per unique row at the issue rate.
+    block_bytes = 2 * cfg.embedding_dim * 4
+    fwd_gather = entries * block_bytes / BLOCK_GATHER_BYTES_PER_S
     bwd_grad_gather = entries / GATHER_ROWS_PER_S
-    bwd_block_gather = unique / GATHER_ROWS_PER_S
+    bwd_block_gather = unique * block_bytes / BLOCK_GATHER_BYTES_PER_S
     scatter = unique / SCATTER_DESC_PER_S
     return (
         fwd_gather + bwd_grad_gather + bwd_block_gather + scatter

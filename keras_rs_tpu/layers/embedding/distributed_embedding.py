@@ -776,6 +776,19 @@ class DistributedEmbedding(Module):
         """Observed preprocessing stats (update_stats parity)."""
         return dict(self._stats.stats)
 
+    def freeze(self) -> "FrozenEmbedding":
+        """Inference-only snapshot: tables without optimizer slots.
+
+        The training state carries 2-3x the table bytes in optimizer
+        slots (Adagrad/Adam/FTRL); a serving process needs none of it.
+        Returns a lightweight module holding each logical [vocab, dim]
+        table once, looking features up with plain gathers + combiner
+        reduction — jit/AOT/export friendly (serving.py), no mesh or
+        preprocessing required. For tables too large for one host,
+        keep serving through the sharded layer itself instead.
+        """
+        return FrozenEmbedding(self)
+
     # ------------------------------------------------------------------
     def get_config(self) -> dict[str, Any]:
         # Dedup shared tables by index (parity with
@@ -852,3 +865,62 @@ class DistributedEmbedding(Module):
             dtype=np.dtype(config.get("dtype", "float32")),
             auto_grow=config.get("auto_grow", True),
         )
+
+
+class FrozenEmbedding(Module):
+    """Slot-free inference view of a `DistributedEmbedding`.
+
+    Accepts the same raw feature structures as the training layer
+    (dense ids, Ragged, BCOO; rank>2 per the FeatureConfig contract) and
+    returns the same activation structure — computed with plain
+    per-table gathers, no COO preprocessing, no mesh, no optimizer
+    state. Built via `DistributedEmbedding.freeze()`.
+    """
+
+    def __init__(self, layer: DistributedEmbedding) -> None:
+        tables = layer.get_embedding_tables()
+        self._feature_leaves = list(layer._feature_leaves)
+        self._feature_treedef = layer._feature_treedef
+        self.tables = {
+            name: jnp.asarray(v) for name, v in tables.items()
+        }
+        self._feature_to_table = {
+            fc.name: fc.table.name for fc in self._feature_leaves
+        }
+        self._combiners = {
+            fc.name: fc.table.combiner for fc in self._feature_leaves
+        }
+
+    def __call__(self, inputs: Any, weights: Any = None) -> Any:
+        in_leaves = DistributedEmbedding._match_features(
+            self, inputs
+        )
+        w_leaves = (
+            DistributedEmbedding._match_features(
+                self, weights, allow_partial=True
+            )
+            if weights is not None
+            else {fc.name: None for fc in self._feature_leaves}
+        )
+        DistributedEmbedding._densify_ragged(in_leaves, w_leaves)
+        DistributedEmbedding._flatten_high_rank(
+            self, in_leaves, w_leaves
+        )
+        outs = []
+        for fc in self._feature_leaves:
+            table = self.tables[self._feature_to_table[fc.name]]
+            ids = jnp.asarray(in_leaves[fc.name])
+            w = w_leaves.get(fc.name)
+            er = EmbedReduce(
+                table.shape[0],
+                table.shape[1],
+                table=table,
+                combiner=self._combiners[fc.name],
+                name=fc.name,
+            )
+            act = er(ids, None if w is None else jnp.asarray(w))
+            out_shape = tuple(fc.output_shape[:-1]) + (act.shape[-1],)
+            if tuple(act.shape) != out_shape:
+                act = act.reshape(out_shape)
+            outs.append(act)
+        return jax.tree_util.tree_unflatten(self._feature_treedef, outs)
