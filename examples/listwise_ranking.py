@@ -1,10 +1,29 @@
-"""Listwise ranking: pairwise hinge loss vs MSE, evaluated with NDCG@5.
+"""Listwise ranking: the ranking-loss zoo on per-user item lists.
 
-Parity with examples/listwise_ranking.py in the reference (per-user 5-item
-lists, MSE vs PairwiseHingeLoss, NDCG metric).
+Counterpart of the reference's examples/listwise_ranking.py (406 lines):
+build 5-item lists per user, score every item with a two-tower model,
+and compare how training objectives of increasing "listwise-ness" trade
+off ranking quality (:247-362 compares MSE vs PairwiseHingeLoss on
+NDCG). This walkthrough widens the comparison to the full loss
+inventory and evaluates each on three ranking metrics, held out:
+
+  objectives (keras-rs loss parity, losses/*):
+    pointwise  — plain MSE on ratings (no list structure at all)
+    pairwise   — PairwiseMeanSquaredError / PairwiseHingeLoss /
+                 PairwiseLogisticLoss (all O(L^2) pair comparisons)
+    listwise   — ListMLELoss (Plackett-Luce likelihood of the
+                 label-sorted permutation)
+
+  metrics (metrics/*): NDCG@5, MAP, MRR — each computed on HELD-OUT
+  lists from the same latent-factor universe, with substantial rating
+  noise so the ideal ranking is only partially recoverable (scores sit
+  off the 1.0 ceiling; a random ranking of 5 items scores NDCG ~0.75,
+  so read the gaps, not the absolute values).
 
 Run: python examples/listwise_ranking.py
 """
+
+from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
@@ -12,24 +31,23 @@ import numpy as np
 import optax
 
 from keras_rs_tpu import losses, metrics, models, training
-from keras_rs_tpu.data import synthetic
 
 
-def make_lists(data, list_size=5, num_lists=2000, seed=0):
+def make_lists(list_size=5, num_lists=2000, seed=0):
+    """Per-user lists with ratings from one latent-factor universe.
+
+    Substantial rating noise (sigma 0.5 on the [0, 5] scale) keeps the
+    ideal ranking only partially recoverable — held-out metrics stay
+    discriminative instead of saturating.
+    """
     rng = np.random.default_rng(seed)
     users = rng.integers(0, 200, size=num_lists).astype(np.int32)
     items = rng.integers(0, 100, size=(num_lists, list_size)).astype(
         np.int32
     )
-    # Ratings from the same latent structure as the synthetic dataset.
-    full = synthetic.movielens_like(num_examples=1, seed=0)
-    del full, data
-    rng2 = np.random.default_rng(0)
+    rng2 = np.random.default_rng(0)  # FIXED universe across splits
     u_f = rng2.normal(size=(200, 4)) / 2.0
     i_f = rng2.normal(size=(100, 4)) / 2.0
-    # Substantial rating noise (sigma 0.5 on a [0, 5] scale): the ideal
-    # ranking is only partially recoverable, so NDCG@5 on held-out lists
-    # lands off the 1.0 ceiling and separates the losses.
     labels = np.einsum(
         "ld,lkd->lk", u_f[users], i_f[items]
     ) + 0.25 * rng.normal(size=items.shape)
@@ -37,20 +55,24 @@ def make_lists(data, list_size=5, num_lists=2000, seed=0):
     return users, items, labels
 
 
-def train(loss_obj, users, items, labels):
-    model = models.TwoTower(200, 100, 16, key=jax.random.key(1))
+def item_scores(m, u, it):
+    """Per-item scores: the candidate tower must NOT reduce the list
+    axis, so run it on flattened ids and restore [B, L]."""
+    B, L = it.shape
+    q = m.query_tower(u)[:, None, :]
+    c = m.candidate_tower(it.reshape(-1)).reshape(B, L, -1)
+    return jnp.sum(q * c, axis=-1)
 
-    def item_scores(m, u, it):
-        # Per-item scores: the candidate tower must NOT reduce the list
-        # axis, so run it on flattened ids and restore [B, L].
-        B, L = it.shape
-        q = m.query_tower(u)[:, None, :]
-        c = m.candidate_tower(it.reshape(-1)).reshape(B, L, -1)
-        return jnp.sum(q * c, axis=-1)
+
+def train(loss_obj, users, items, labels, *, pointwise=False):
+    model = models.TwoTower(200, 100, 16, key=jax.random.key(1))
 
     def loss_fn(m, batch):
         u, it, y = batch
-        return loss_obj(y_true=y, y_pred=item_scores(m, u, it))
+        scores = item_scores(m, u, it)
+        if pointwise:
+            return jnp.mean((scores - y) ** 2)
+        return loss_obj(y_true=y, y_pred=scores)
 
     trainer = training.Trainer(model, optax.adagrad(0.3), loss_fn)
 
@@ -63,23 +85,58 @@ def train(loss_obj, users, items, labels):
             )
 
     trainer.fit(data, epochs=10, log_every=0)
-    # NDCG@5 on HELD-OUT lists from the same latent structure.
-    eu, ei, ey = make_lists(None, num_lists=500, seed=7)
-    m = metrics.NDCG(k=5, shuffle_ties=False)
-    scores = item_scores(trainer.model, jnp.asarray(eu), jnp.asarray(ei))
-    m.update_state(jnp.asarray(ey), scores)
-    return float(m.result())
+    return trainer.model
+
+
+def evaluate(model, users, items, labels):
+    scores = item_scores(model, jnp.asarray(users), jnp.asarray(items))
+    # NDCG consumes the graded ratings directly. MAP/MRR are defined
+    # over BINARY relevance — with graded labels every item counts as
+    # relevant and both pin at ~1.0 — so binarize: "relevant" = the
+    # list's best item(s) (the standard top-rated protocol).
+    binary = (labels >= labels.max(axis=1, keepdims=True) - 1e-6)
+    binary = binary.astype(np.float32)
+    out = {}
+    for name, metric, y in (
+        ("NDCG@5", metrics.NDCG(k=5, shuffle_ties=False), labels),
+        ("MAP", metrics.MeanAveragePrecision(shuffle_ties=False), binary),
+        ("MRR", metrics.MeanReciprocalRank(shuffle_ties=False), binary),
+    ):
+        metric.update_state(jnp.asarray(y), scores)
+        out[name] = float(metric.result())
+    return out
 
 
 def main():
-    users, items, labels = make_lists(None)
-    ndcg_mse = train(
-        losses.PairwiseMeanSquaredError(), users, items, labels
-    )
-    ndcg_hinge = train(losses.PairwiseHingeLoss(), users, items, labels)
-    print(f"NDCG@5  pairwise MSE:   {ndcg_mse:.4f}")
-    print(f"NDCG@5  pairwise hinge: {ndcg_hinge:.4f}")
-    return ndcg_mse, ndcg_hinge
+    users, items, labels = make_lists(seed=0)
+    eval_lists = make_lists(num_lists=500, seed=7)  # held out
+
+    objectives = [
+        ("pointwise MSE", None, True),
+        ("pairwise MSE", losses.PairwiseMeanSquaredError(), False),
+        ("pairwise hinge", losses.PairwiseHingeLoss(), False),
+        ("pairwise logistic", losses.PairwiseLogisticLoss(), False),
+        ("ListMLE", losses.ListMLELoss(), False),
+    ]
+    results = {}
+    header = f"{'objective':18s}  NDCG@5   MAP     MRR"
+    print(header)
+    print("-" * len(header))
+    for name, loss_obj, pointwise in objectives:
+        model = train(loss_obj, users, items, labels, pointwise=pointwise)
+        m = evaluate(model, *eval_lists)
+        results[name] = m
+        print(
+            f"{name:18s}  {m['NDCG@5']:.4f}  {m['MAP']:.4f}  "
+            f"{m['MRR']:.4f}"
+        )
+    # NOTE: a rigorous loss comparison would tune the learning rate per
+    # objective (pairwise-MSE's calibrated differences suit this fixed
+    # Adagrad(0.3) best); the point here is the protocol and the
+    # inventory, mirroring the reference's MSE-vs-hinge comparison.
+    best = max(results, key=lambda k: results[k]["NDCG@5"])
+    print(f"best NDCG@5: {best} ({results[best]['NDCG@5']:.4f})")
+    return results[best]["NDCG@5"]
 
 
 if __name__ == "__main__":
