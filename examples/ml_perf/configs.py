@@ -41,6 +41,12 @@ class ExperimentConfig:
     file_pattern: str | None = None  # None -> dummy data
     val_file_pattern: str | None = None  # None -> dummy eval batches
     num_loader_threads: int = 4
+    #: Run the COO preprocessing ON DEVICE inside the jitted step
+    #: instead of on host loader threads (the reference needs 4 threads
+    #: to feed the chip; the device path removes the host bottleneck
+    #: entirely — see device_preprocessing.py). Capacities are set to
+    #: the worst case automatically since the in-jit path cannot grow.
+    device_preprocessing: bool = False
     do_profile: bool = False
     profile_dir: str = "/tmp/keras_rs_tpu_profile"
     checkpoint_dir: str | None = None

@@ -57,6 +57,21 @@ def main(config_name: str = "smoke_test", **overrides) -> dict:
         cfg.name, mesh.devices.size, jax.process_count(),
     )
 
+    max_ids = cfg.max_ids_per_partition
+    max_unique = cfg.max_unique_ids_per_partition
+    if cfg.device_preprocessing:
+        # The in-jit COO path has static shapes and cannot auto-grow:
+        # size the per-bucket capacity for the worst case (every large
+        # id of a shard's batch slice landing in one bucket), like
+        # bench.py does. HBM cost is modest (int32/f32 COO buffers).
+        D = mesh.devices.size
+        large_mh = sum(
+            m
+            for v, m in zip(cfg.vocab_sizes, cfg.multi_hot_sizes)
+            if v >= cfg.embedding_threshold
+        )
+        max_ids = (cfg.global_batch_size // D) * large_mh
+        max_unique = max(1, max_ids // D)
     model_cfg = DLRMConfig(
         vocab_sizes=cfg.vocab_sizes,
         multi_hot_sizes=cfg.multi_hot_sizes,
@@ -66,8 +81,8 @@ def main(config_name: str = "smoke_test", **overrides) -> dict:
         num_dcn_layers=cfg.num_dcn_layers,
         dcn_projection_dim=cfg.dcn_projection_dim,
         embedding_threshold=cfg.embedding_threshold,
-        max_ids_per_partition=cfg.max_ids_per_partition,
-        max_unique_ids_per_partition=cfg.max_unique_ids_per_partition,
+        max_ids_per_partition=max_ids,
+        max_unique_ids_per_partition=max_unique,
         learning_rate=cfg.learning_rate,
         global_batch_size=cfg.global_batch_size,
     )
@@ -95,14 +110,28 @@ def main(config_name: str = "smoke_test", **overrides) -> dict:
                 pre[k] = mesh_lib.put_batch(mesh, np.asarray(pre[k]))
         return pre
 
-    # Threaded host preprocessing (main.py:35-105 parity).
+    def put_raw(batch):
+        # Device-preprocessing mode: host work is just the transfer.
+        return mesh_lib.put_batch(
+            mesh, {k: np.asarray(v) for k, v in batch.items()}
+        )
+
+    # Threaded host preprocessing (main.py:35-105 parity) — or, with
+    # device_preprocessing, a thin transfer thread feeding raw ids.
     loader = ThreadedDataLoader(
-        raw_batches(), preprocess, num_workers=cfg.num_loader_threads
+        raw_batches(),
+        put_raw if cfg.device_preprocessing else preprocess,
+        num_workers=cfg.num_loader_threads,
     )
 
     optimizer = optax.adagrad(cfg.learning_rate)
     state = training.create_train_state(model, optimizer)
-    step_fn = training.make_train_step(bce_loss, optimizer, donate=False)
+    if cfg.device_preprocessing:
+        def loss_fn(m, b):
+            return bce_loss(m, m.preprocess_on_device(b))
+    else:
+        loss_fn = bce_loss
+    step_fn = training.make_train_step(loss_fn, optimizer, donate=False)
 
     ckpt = (
         training.CheckpointManager(cfg.checkpoint_dir)
@@ -111,6 +140,8 @@ def main(config_name: str = "smoke_test", **overrides) -> dict:
     )
 
     t0 = time.time()
+    warmup = min(10, max(0, cfg.num_steps - 1))
+    t_warm = t0
     losses = []
     for step in range(cfg.num_steps):
         if cfg.do_profile and step == 10:
@@ -118,6 +149,12 @@ def main(config_name: str = "smoke_test", **overrides) -> dict:
         batch = next(loader)
         state, loss = step_fn(state, batch)
         losses.append(loss)
+        if step + 1 == warmup:
+            # Exclude compilation from the throughput figure (the
+            # device-preprocessing program's big sorts can take minutes
+            # to compile; MLPerf-style accounting starts after warmup).
+            jax.block_until_ready(loss)
+            t_warm = time.time()
         if cfg.do_profile and step == 20:
             jax.block_until_ready(loss)
             jax.profiler.stop_trace()
@@ -125,15 +162,20 @@ def main(config_name: str = "smoke_test", **overrides) -> dict:
             ckpt.save(step + 1, state)
         if (step + 1) % 100 == 0:
             logger.info(
-                "step %d loss %.5f (%.1f ex/s)",
+                "step %d loss %.5f (%.1f ex/s post-warmup)",
                 step + 1,
                 float(loss),
-                cfg.global_batch_size * (step + 1) / (time.time() - t0),
+                cfg.global_batch_size
+                * (step + 1 - warmup)
+                / max(time.time() - t_warm, 1e-9),
             )
     jax.block_until_ready(losses[-1])
     loader.stop()
-    elapsed = time.time() - t0
-    throughput = cfg.global_batch_size * cfg.num_steps / elapsed
+    throughput = (
+        cfg.global_batch_size
+        * (cfg.num_steps - warmup)
+        / max(time.time() - t_warm, 1e-9)
+    )
 
     # Eval: streaming BinaryAccuracy + AUC (library metrics; the
     # confusion-state accumulation runs inside the jitted eval step, so
@@ -145,6 +187,8 @@ def main(config_name: str = "smoke_test", **overrides) -> dict:
 
     @jax.jit
     def eval_step(m, b, auc_state, acc_state):
+        if cfg.device_preprocessing:
+            b = m.preprocess_on_device(b)
         logits = m(b)
         probs = jax.nn.sigmoid(logits)
         labels = b["label"]
@@ -170,7 +214,11 @@ def main(config_name: str = "smoke_test", **overrides) -> dict:
     auc_state, acc_state = auc_m.init_state(), acc_m.init_state()
     ck_labels, ck_probs = [], []
     for eval_batch in eval_batches:
-        pre = model.preprocess(eval_batch)
+        pre = (
+            {k: np.asarray(v) for k, v in eval_batch.items()}
+            if cfg.device_preprocessing
+            else model.preprocess(eval_batch)
+        )
         auc_state, acc_state, probs = eval_step(
             state.model, pre, auc_state, acc_state
         )
@@ -206,6 +254,10 @@ if __name__ == "__main__":
     parser.add_argument("--file_pattern", default=None)
     parser.add_argument("--val_file_pattern", default=None)
     parser.add_argument("--profile", action="store_true")
+    parser.add_argument(
+        "--device_preprocessing", action="store_true",
+        help="run COO preprocessing on-device inside the jitted step",
+    )
     args = parser.parse_args()
     overrides = {}
     if args.num_steps:
@@ -216,6 +268,8 @@ if __name__ == "__main__":
         overrides["val_file_pattern"] = args.val_file_pattern
     if args.profile:
         overrides["do_profile"] = True
+    if args.device_preprocessing:
+        overrides["device_preprocessing"] = True
     # Env overrides (documented in run.sh; convenient on --worker=all
     # launches where per-worker flags are awkward).
     import os
