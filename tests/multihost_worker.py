@@ -98,13 +98,56 @@ def main() -> int:
         losses.append(float(loss))
     assert losses[-1] < losses[0], losses
 
-    # Cross-host stat sync: each process reports a different local max.
-    synced = multihost.sync_max_stats({"max_ids": 10 + process_id})
+    # Cross-host stat sync: each process reports a different local max;
+    # additive keys are summed, watermarks maxed.
+    synced = multihost.sync_max_stats(
+        {"max_ids": 10 + process_id, "dropped_ids": 3}
+    )
     assert synced["max_ids"] == 10 + num_processes - 1, synced
+    assert synced["dropped_ids"] == 3 * num_processes, synced
+
+    # Auto-grow under multi-host: every process preprocesses a training
+    # batch that overflows the configured capacities; the stat sync runs
+    # as a matched collective on all hosts and every host must derive
+    # the SAME grown capacities (they are static shapes of the jitted
+    # step — divergence would break SPMD). Parity:
+    # jax/distributed_embedding.py:658-719.
+    import warnings
+
+    grow_table = TableConfig(
+        name="g",
+        vocabulary_size=997,
+        embedding_dim=8,
+        combiner="sum",
+        placement="sharded",
+        optimizer="sgd",
+        max_ids_per_partition=2,
+        max_unique_ids_per_partition=4,
+    )
+    grow_layer = DistributedEmbedding(
+        {
+            "g": FeatureConfig(
+                name="g", table=grow_table, input_shape=(B, 3),
+                output_shape=(B, 8),
+            )
+        },
+        key=jax.random.key(1),
+        mesh=mesh,
+    )
+    skew = np.full((B, 3), 5, np.int64)  # every id -> one shard
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # no drop warnings allowed
+        grow_layer.preprocess({"g": skew}, training=True)
+    gstack = grow_layer.stacks[0]
+    assert gstack.max_ids_per_partition > 2
+    st = grow_layer.input_stats[gstack.name]
+    assert st.dropped_ids == 0, st
 
     print(
         f"WORKER_OK {process_id} loss0={losses[0]:.6f} "
-        f"lossN={losses[-1]:.6f}",
+        f"lossN={losses[-1]:.6f} "
+        f"grow=C{gstack.max_ids_per_partition}"
+        f"U{gstack.max_unique_ids_per_shard}",
         flush=True,
     )
     return 0

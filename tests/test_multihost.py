@@ -59,9 +59,12 @@ def test_two_process_training():
         assert p.returncode == 0, f"worker {i} failed:\n{out[-3000:]}"
         assert f"WORKER_OK {i}" in out, out[-2000:]
 
-    # Both processes computed the same global losses.
-    def losses(out):
+    # Both processes computed the same global losses AND derived the
+    # same auto-grown capacities (static shapes must agree across the
+    # slice or SPMD breaks).
+    def marker(out):
         line = [l for l in out.splitlines() if "WORKER_OK" in l][0]
         return line.split("loss0=")[1]
 
-    assert losses(outs[0]) == losses(outs[1])
+    assert marker(outs[0]) == marker(outs[1])
+    assert "grow=C" in outs[0]
