@@ -25,7 +25,6 @@ from __future__ import annotations
 
 from typing import Any
 
-import jax
 import jax.numpy as jnp
 
 from keras_rs_tpu.types import Tensor

@@ -28,7 +28,7 @@ jax/distributed_embedding.py:658-719).
 
 from __future__ import annotations
 
-from typing import Mapping, NamedTuple, Sequence
+from typing import Mapping, NamedTuple
 
 import jax
 import jax.numpy as jnp

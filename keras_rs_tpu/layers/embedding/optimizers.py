@@ -23,7 +23,6 @@ from __future__ import annotations
 
 from typing import Any, Callable, Union
 
-import jax
 import jax.numpy as jnp
 
 from keras_rs_tpu.types import Tensor

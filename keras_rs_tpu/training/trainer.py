@@ -20,7 +20,6 @@ import optax
 
 from keras_rs_tpu.metrics.ranking_metric import RankingMetric
 from keras_rs_tpu.training.train_state import (
-    TrainState,
     create_train_state,
     make_train_step,
 )

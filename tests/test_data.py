@@ -3,7 +3,6 @@
 threaded loader."""
 
 import os
-import tempfile
 
 import numpy as np
 import pytest

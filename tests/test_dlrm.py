@@ -2,7 +2,6 @@
 model-parallel sharded embeddings in one jitted train step."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import optax
 

@@ -16,11 +16,7 @@ from keras_rs_tpu.layers.embedding.config import FeatureConfig, TableConfig
 from keras_rs_tpu.layers.embedding.distributed_embedding import (
     DistributedEmbedding,
 )
-from keras_rs_tpu.layers.retrieval.retrieval import (
-    BruteForceRetrieval,
-    Retrieval,
-)
-from keras_rs_tpu.parallel import mesh as mesh_lib
+from keras_rs_tpu.layers.retrieval.retrieval import BruteForceRetrieval
 from keras_rs_tpu.parallel import multihost
 from keras_rs_tpu.parallel.sharded_retrieval import (
     ShardedBruteForceRetrieval,

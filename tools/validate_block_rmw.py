@@ -39,7 +39,6 @@ def main() -> None:
 
     from keras_rs_tpu.ops.row_ops import (
         scatter_row_blocks_unique,
-        scatter_rows_unique,
         scatter_rows_unique_multi,
     )
 
