@@ -68,6 +68,28 @@ def main():
         f"recall@10: {recall_at_10:.3f} "
         f"(popularity baseline {pop_recall:.3f})"
     )
+
+    # Deployment: fuse tower + top-k into one function and export it as
+    # a portable StableHLO artifact a serving process can load WITHOUT
+    # this model code (serving.py; the reference stops at attaching the
+    # retrieval layer at inference time, basic_retrieval.py:260-269).
+    from keras_rs_tpu.serving import (
+        export_fn,
+        import_fn,
+        make_retrieval_service,
+    )
+
+    service = make_retrieval_service(
+        trainer.model.query_tower, retrieval
+    )
+    blob = export_fn(service, jnp.asarray(eval_u[:8]))
+    served_scores, served_ids = import_fn(blob)(jnp.asarray(eval_u[:8]))
+    direct_scores, direct_ids = service(jnp.asarray(eval_u[:8]))
+    assert np.array_equal(np.asarray(served_ids), np.asarray(direct_ids))
+    print(
+        f"serving export round-trip OK ({len(blob) / 1e3:.0f} KB "
+        "artifact reproduces the top-k)"
+    )
     return recall_at_10
 
 
