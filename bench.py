@@ -59,6 +59,10 @@ def build(placement: str, mesh, batch_size: int, vocab: int, dim: int):
         learning_rate=0.0034,
         global_batch_size=batch_size,
         table_placement=placement,
+        # BENCH_TABLE_DTYPE=bfloat16 measures the half-HBM table mode
+        # (split state layout + stochastic-rounded updates; the packed
+        # layout requires f32 — see BASELINE.md for the tradeoff).
+        table_dtype=os.environ.get("BENCH_TABLE_DTYPE", "float32"),
     )
     model = DLRMDCNv2(cfg, key=jax.random.key(0), mesh=mesh)
     raw = synthetic.criteo_like_batch(

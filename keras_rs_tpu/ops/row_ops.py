@@ -93,12 +93,21 @@ def _scatter_kernel(idx_ref, rows_ref, table_ref, out_ref, sems):
 MAX_PALLAS_DIM = 512
 
 
-def pallas_supported(dim: int) -> bool:
-    """The row DMA needs lane-aligned rows that fit the VMEM budget."""
+def pallas_supported(dim: int, dtype=jnp.float32) -> bool:
+    """The row DMA needs lane-aligned rows that fit the VMEM budget.
+
+    Sub-4-byte dtypes are EXCLUDED: bf16 VMEM is (16, 128)-tiled with
+    two rows packed per sublane, and Mosaic cannot slice a single bf16
+    row out of a tiled memref for the DMA (verified on hardware: the
+    kernel fails to compile with a memref_slice error). bf16 tables
+    therefore update through XLA's scatter — slower, but bf16's value
+    is HBM capacity, not update speed (BASELINE.md).
+    """
     return (
         jax.default_backend() == "tpu"
         and dim % _LANE == 0
         and dim <= MAX_PALLAS_DIM
+        and jnp.dtype(dtype).itemsize == 4
     )
 
 
@@ -165,7 +174,7 @@ def scatter_rows_unique(
     """Backend-selecting unique-row scatter (Pallas on TPU, XLA else)."""
     rows = rows.astype(table.dtype)
     if use_pallas is None:
-        use_pallas = pallas_supported(table.shape[1])
+        use_pallas = pallas_supported(table.shape[1], table.dtype)
     if use_pallas:
         return scatter_rows(table, idx, rows, interpret=interpret)
     return table.at[idx].set(rows, unique_indices=True)
@@ -406,7 +415,10 @@ def scatter_row_blocks_unique(
     k, dim = blocks.shape[1], blocks.shape[2]
     if use_pallas is None:
         # VMEM block is [BLOCK_ROWS, k, dim]; reuse the row-width budget.
-        use_pallas = pallas_supported(dim) and k * dim <= MAX_PALLAS_DIM
+        use_pallas = (
+            pallas_supported(dim, packed.dtype)
+            and k * dim <= MAX_PALLAS_DIM
+        )
     if use_pallas:
         return scatter_row_blocks(packed, idx, blocks, interpret=interpret)
     return packed.at[idx].set(blocks, unique_indices=True)
@@ -436,9 +448,11 @@ def scatter_rows_unique_multi(
     ]
     multi_ok = use_pallas
     if multi_ok is None:
-        # The per-stream VMEM rows blocks must fit the budget together.
-        multi_ok = MULTI_STREAM_AUTO and pallas_supported(
-            dim * len(tables)
+        # The per-stream VMEM rows blocks must fit the budget together,
+        # and EVERY stream's dtype must be DMA-sliceable (a bf16 stream
+        # forces its own XLA fallback; see pallas_supported).
+        multi_ok = MULTI_STREAM_AUTO and all(
+            pallas_supported(dim * len(tables), t.dtype) for t in tables
         )
     if len(tables) == 1 or not multi_ok:
         # Per-stream scatters; each re-decides Pallas-vs-XLA on its own

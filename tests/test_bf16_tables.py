@@ -91,7 +91,11 @@ def test_bf16_training_accumulates_small_updates():
     grad_fn = jax.jit(jax.grad(loss))
     state = dict(layer.state.value[stack.name])
     for _ in range(40):
-        state = grad_fn(state)
+        # block each step: queueing many small collective programs on
+        # the 1-core 8-device CPU backend can exhaust the execution
+        # thread pool mid-rendezvous and hit XLA's hardcoded 40 s abort
+        # (see CLAUDE.md).
+        state = jax.block_until_ready(grad_fn(state))
     table = np.asarray(state["table"].astype(jnp.float32))
     # Expected drift: 40 steps * 0.25 ulp (sgd lr=0.01: update = lr*grad...)
     # With sgd lr 0.01 the per-step delta is 0.01 * B * cot = 0.01*ulp/4.
