@@ -87,10 +87,16 @@ def _scatter_kernel(idx_ref, rows_ref, table_ref, out_ref, sems):
     jax.lax.fori_loop(0, ngroups, body, 0)
 
 
-#: Upper bound on row width for the Pallas path: the VMEM rows block is
-#: [BLOCK_ROWS, dim] f32, double-buffered by the pipeline — keep it well
-#: under the ~16 MB budget (dim 512 -> 2 x 4 MB).
-MAX_PALLAS_DIM = 512
+#: Upper bound on row width for the Pallas path. Hardware-validated at
+#: 128 ONLY: a dim-256 (two-lane-tile) row slice makes the kernel fail
+#: to compile on v5e (tpu_compile_helper crash; dim-128 compiles fine
+#: in the same session) — so wider rows take the XLA fallback. Re-test
+#: before raising. The separate VMEM budget for [BLOCK_ROWS, k, dim]
+#: blocks is MAX_BLOCK_WIDTH.
+MAX_PALLAS_DIM = 128
+#: Total f32 lanes per block row allowed in VMEM ([BLOCK_ROWS, k*dim]
+#: double-buffered: 512 lanes -> 2 x 4 MB of the ~16 MB budget).
+MAX_BLOCK_WIDTH = 512
 
 
 def pallas_supported(dim: int, dtype=jnp.float32) -> bool:
@@ -414,10 +420,11 @@ def scatter_row_blocks_unique(
     blocks = blocks.astype(packed.dtype)
     k, dim = blocks.shape[1], blocks.shape[2]
     if use_pallas is None:
-        # VMEM block is [BLOCK_ROWS, k, dim]; reuse the row-width budget.
+        # Row width must be DMA-sliceable AND the [BLOCK_ROWS, k, dim]
+        # VMEM block must fit the budget.
         use_pallas = (
             pallas_supported(dim, packed.dtype)
-            and k * dim <= MAX_PALLAS_DIM
+            and k * dim <= MAX_BLOCK_WIDTH
         )
     if use_pallas:
         return scatter_row_blocks(packed, idx, blocks, interpret=interpret)
@@ -448,11 +455,13 @@ def scatter_rows_unique_multi(
     ]
     multi_ok = use_pallas
     if multi_ok is None:
-        # The per-stream VMEM rows blocks must fit the budget together,
-        # and EVERY stream's dtype must be DMA-sliceable (a bf16 stream
-        # forces its own XLA fallback; see pallas_supported).
-        multi_ok = MULTI_STREAM_AUTO and all(
-            pallas_supported(dim * len(tables), t.dtype) for t in tables
+        # Every stream's rows must be DMA-sliceable (width + dtype; a
+        # bf16 stream forces its own XLA fallback) and the per-stream
+        # VMEM blocks must fit the budget together.
+        multi_ok = (
+            MULTI_STREAM_AUTO
+            and all(pallas_supported(dim, t.dtype) for t in tables)
+            and dim * len(tables) <= MAX_BLOCK_WIDTH
         )
     if len(tables) == 1 or not multi_ok:
         # Per-stream scatters; each re-decides Pallas-vs-XLA on its own
