@@ -226,3 +226,19 @@ def test_packed_vs_split_layout_training_equivalence():
     fwd_s, table_s = one_step(split_stack)
     np.testing.assert_allclose(fwd_p, fwd_s, rtol=1e-6)
     np.testing.assert_array_equal(table_p, table_s)
+
+
+def test_pallas_gating_decisions(monkeypatch):
+    """The auto gates must route hardware-unsupported shapes/dtypes to
+    the XLA fallback (dim 128 f32 is the only hardware-proven row DMA;
+    see the MAX_PALLAS_DIM note — bf16 rows cannot be sliced at all)."""
+    from keras_rs_tpu.ops import row_ops
+
+    monkeypatch.setattr(
+        row_ops.jax, "default_backend", lambda: "tpu"
+    )
+    assert row_ops.pallas_supported(128)
+    assert not row_ops.pallas_supported(256)  # two lane tiles: no compile
+    assert not row_ops.pallas_supported(64)  # sub-lane row
+    assert not row_ops.pallas_supported(128, jnp.bfloat16)  # packed rows
+    assert not row_ops.pallas_supported(128, jnp.int8)
