@@ -211,3 +211,72 @@ def test_empty_shard_dedup_matches_host():
     sink = stack.sink_slot
     # Shard 1 saw nothing: all sink.
     assert (np.asarray(dev["unique_slots"])[1] == sink).all()
+
+
+@pytest.mark.parametrize("case", range(8))
+def test_fuzz_three_backend_parity(case):
+    """Randomized configs: the numpy host path, the C++ native path (when
+    built), and the device path must produce IDENTICAL CooBatch arrays —
+    random shard counts, feature counts, valences, capacities, weights,
+    and out-of-range ids."""
+    from keras_rs_tpu.layers.embedding import native as native_lib
+
+    rng = np.random.default_rng(1000 + case)
+    num_shards = int(rng.choice([1, 2, 4, 8]))
+    n_feats = int(rng.integers(1, 4))
+    batch = num_shards * int(rng.integers(2, 6))
+    combiners = [
+        str(rng.choice(["mean", "sum", "sqrtn"])) for _ in range(n_feats)
+    ]
+    vocabs = [int(rng.integers(16, 200)) for _ in range(n_feats)]
+    max_ids = int(rng.integers(8, 64))
+    stack = _make_stack(
+        num_shards=num_shards,
+        batch=batch,
+        combiners=combiners,
+        vocabs=vocabs,
+        dims=[8] * n_feats,
+        max_ids=max_ids,
+        max_unique=int(rng.integers(8, 64)),
+    )
+    valence = int(rng.integers(1, 6))
+    inputs, weights = {}, {}
+    for fspec in stack.features:
+        vocab = stack.table_spec(fspec.table_name).vocabulary_size
+        # Include out-of-range ids (negative and >= vocab): all backends
+        # must ignore them identically.
+        ids = rng.integers(-3, vocab + 5, (batch, valence))
+        w = (rng.random((batch, valence)) > 0.3).astype(np.float32)
+        w *= rng.random((batch, valence)).astype(np.float32) + 0.25
+        inputs[fspec.name] = ids
+        weights[fspec.name] = w
+
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        host, host_stats = preprocessing.preprocess_stack(
+            stack, inputs, weights, backend="numpy"
+        )
+        coo_dev, dev_stats = jax.jit(
+            lambda: preprocess_stack_device(stack, inputs, weights)
+        )()
+        if native_lib.available():
+            nat, nat_stats = preprocessing.preprocess_stack(
+                stack, inputs, weights, backend="native"
+            )
+        else:
+            nat, nat_stats = None, None
+
+    for k, v in host.arrays().items():
+        np.testing.assert_array_equal(
+            np.asarray(coo_dev[k]), v, err_msg=f"device vs numpy: {k}"
+        )
+        if nat is not None:
+            np.testing.assert_array_equal(
+                nat.arrays()[k], v, err_msg=f"native vs numpy: {k}"
+            )
+    assert int(dev_stats.dropped_ids) == host_stats.dropped_ids
+    assert int(dev_stats.max_ids_per_bucket) == host_stats.max_ids_per_bucket
+    if nat_stats is not None:
+        assert nat_stats.dropped_ids == host_stats.dropped_ids
