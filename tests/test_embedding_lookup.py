@@ -370,3 +370,54 @@ def test_unique_overflow_does_not_update_sink():
             new_table[sink_row], table_before[sink_row],
             err_msg=f"sink row of shard {d} must not update",
         )
+
+
+@pytest.mark.parametrize("optimizer", ["adagrad", "adam"])
+@pytest.mark.parametrize("dim", [8, 128])  # 8 = split layout, 128 = packed
+def test_two_step_update_matches_oracle(optimizer, dim):
+    """Slot state must CARRY between steps: after two fused updates the
+    table must equal two sequential oracle optimizer applications (a
+    step-1-only test cannot distinguish fresh slots from carried ones,
+    e.g. Adam's bias correction or Adagrad's accumulator)."""
+    t = TableConfig(
+        name="t", vocabulary_size=64, embedding_dim=dim,
+        optimizer=optimizer, combiner="sum",
+        max_ids_per_partition=32, max_unique_ids_per_partition=32,
+    )
+    fcs = [FeatureConfig("f", t, (B, 2), (B, dim))]
+    mesh, stacks, states, raw = setup_stack(fcs)
+    stack = stacks[0]
+    assert stack.packed_state == (dim == 128)
+    rng = np.random.default_rng(5)
+    inputs = {"f": rng.integers(0, 64, size=(B, 2))}
+    coo, _ = preprocess_stack(stack, inputs)
+    coo_dev = put_coo(mesh, coo)
+    cot = rng.normal(size=(B, dim)).astype(np.float32)
+
+    def loss_fn(state):
+        acts = stack_lookup(stack, mesh, AXIS, state, coo_dev)
+        return jnp.sum(split_activations(stack, acts)["f"] * cot)
+
+    grad = jax.jit(jax.grad(loss_fn))
+    state = states[stack.name]
+    state = grad(state)   # step 1
+    state = grad(state)   # step 2 (same batch: same row grads)
+    np.testing.assert_allclose(float(state["step"]), 2.0)
+
+    # Oracle: apply the optimizer twice with carried slots.
+    g = oracle_row_grads(fcs, inputs, None, {"f": cot})["t"].astype(
+        np.float32
+    )
+    opt = opt_lib.get(optimizer)
+    rows = jnp.asarray(raw["t"])
+    slots = {
+        name: opt.init_slot(name, rows.shape, jnp.float32)
+        for name in opt.slot_names
+    }
+    rows, slots = opt.apply(rows, jnp.asarray(g), slots, jnp.zeros(()))
+    rows, slots = opt.apply(rows, jnp.asarray(g), slots, jnp.ones(()))
+    touched = np.abs(g).sum(axis=1) > 0
+    got = gather_table(stack, np.asarray(state["table"]), "t")
+    np.testing.assert_allclose(
+        got[touched], np.asarray(rows)[touched], rtol=5e-4, atol=5e-5
+    )
