@@ -220,3 +220,58 @@ def test_mixed_placement():
         np.asarray(acts[1]), tables["small"][np.arange(B) % 10],
         rtol=1e-5, atol=1e-5,
     )
+
+
+def test_mixed_layout_stacks_train_together():
+    """One layer holding a PACKED stack (dim 128, adagrad) and a SPLIT
+    stack (dim 16, adam — different dim AND optimizer, so auto-stacking
+    keeps them apart) must train both correctly in one jitted step."""
+    import optax
+
+    from keras_rs_tpu import training
+
+    t_wide = TableConfig(
+        "wide", 256, 128, optimizer="adagrad", combiner="sum",
+        placement="sharded", max_ids_per_partition=64,
+        max_unique_ids_per_partition=64,
+    )
+    t_narrow = TableConfig(
+        "narrow", 64, 16, optimizer="adam", combiner="mean",
+        placement="sharded", max_ids_per_partition=64,
+        max_unique_ids_per_partition=64,
+    )
+    fcs = {
+        "w": FeatureConfig("w", t_wide, (B, 2), (B, 128)),
+        "n": FeatureConfig("n", t_narrow, (B, 3), (B, 16)),
+    }
+    layer = DistributedEmbedding(fcs, key=jax.random.key(0))
+    layouts = sorted(s.packed_state for s in layer.stacks)
+    assert layouts == [False, True], layouts  # one of each
+
+    rng = np.random.default_rng(0)
+    ids = {
+        "w": rng.integers(0, 256, size=(B, 2)),
+        "n": rng.integers(0, 64, size=(B, 3)),
+    }
+    pre = layer.preprocess(ids)
+    tables_before = layer.get_embedding_tables()
+
+    def loss_fn(model, batch):
+        acts = model(batch)
+        return jnp.mean(acts["w"] ** 2) + jnp.mean(acts["n"] ** 2)
+
+    state = training.create_train_state(layer, optax.sgd(0.1))
+    step = training.make_train_step(
+        loss_fn, optax.sgd(0.1), donate=False
+    )
+    state, l1 = step(state, pre)
+    state, l2 = step(state, pre)
+    assert float(l2) < float(l1)
+    after = state.model.get_embedding_tables()
+    for name in ("wide", "narrow"):
+        assert not np.allclose(after[name], tables_before[name]), name
+    # Step counters advanced independently per stack.
+    for stack in state.model.stacks:
+        np.testing.assert_allclose(
+            float(state.model.state.value[stack.name]["step"]), 2.0
+        )
