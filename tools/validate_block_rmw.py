@@ -68,6 +68,20 @@ def main() -> None:
         raise SystemExit(1)
     del out, out3, blocks
 
+    # stride-3 (Adam/FTRL) groups compile and land correctly too.
+    blocks3 = jnp.asarray(
+        rng.standard_normal((n, 3, DIM)).astype(np.float32)
+    )
+    out3s = scatter_row_blocks_unique(
+        jnp.zeros((r, 3, DIM)), idx, blocks3, use_pallas=True
+    )
+    ok3 = bool(jnp.all(out3s[idx[:256]] == blocks3[:256]))
+    print(f"[small] k=3 block-scatter correctness: "
+          f"{'OK' if ok3 else 'FAIL'}", flush=True)
+    if not ok3:
+        raise SystemExit(1)
+    del out3s, blocks3
+
     # --- bench data ------------------------------------------------------
     idx = jnp.asarray(
         np.sort(rng.choice(R, N, replace=False)).astype(np.int32)
