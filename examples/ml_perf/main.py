@@ -138,18 +138,26 @@ def main(config_name: str = "smoke_test", **overrides) -> dict:
         if cfg.checkpoint_dir
         else None
     )
+    # Checkpoint-restart is the failure-recovery story (SURVEY.md §5):
+    # on startup, resume from the latest step if one exists — a rerun
+    # after a crash continues instead of restarting from scratch.
+    start_step = 0
+    if ckpt and ckpt.latest_step() is not None:
+        start_step = ckpt.latest_step()
+        state = ckpt.restore(start_step, state)
+        logger.info("resumed from checkpoint step %d", start_step)
 
     t0 = time.time()
-    warmup = min(10, max(0, cfg.num_steps - 1))
+    warmup = min(10, max(0, cfg.num_steps - start_step - 1))
     t_warm = t0
     losses = []
-    for step in range(cfg.num_steps):
+    for step in range(start_step, cfg.num_steps):
         if cfg.do_profile and step == 10:
             jax.profiler.start_trace(cfg.profile_dir)
         batch = next(loader)
         state, loss = step_fn(state, batch)
         losses.append(loss)
-        if step + 1 == warmup:
+        if step - start_step + 1 == warmup:
             # Exclude compilation from the throughput figure (the
             # device-preprocessing program's big sorts can take minutes
             # to compile; MLPerf-style accounting starts after warmup).
@@ -169,11 +177,12 @@ def main(config_name: str = "smoke_test", **overrides) -> dict:
                 * (step + 1 - warmup)
                 / max(time.time() - t_warm, 1e-9),
             )
-    jax.block_until_ready(losses[-1])
+    if losses:
+        jax.block_until_ready(losses[-1])
     loader.stop()
     throughput = (
         cfg.global_batch_size
-        * (cfg.num_steps - warmup)
+        * max(cfg.num_steps - start_step - warmup, 0)
         / max(time.time() - t_warm, 1e-9)
     )
 
@@ -238,7 +247,7 @@ def main(config_name: str = "smoke_test", **overrides) -> dict:
         ckpt.wait_until_finished()
 
     results = {
-        "loss": float(losses[-1]),
+        "loss": float(losses[-1]) if losses else float("nan"),
         "throughput": throughput,
         "accuracy": acc,
         "auc": auc,

@@ -24,18 +24,14 @@ def save_checkpoint(path: str, state: Any, *, force: bool = True) -> None:
     ckpt.wait_until_finished()
 
 
-def restore_checkpoint(path: str, template: Any) -> Any:
-    """Restores into the structure/shardings of `template`.
+def _abstract_like(template: Any) -> Any:
+    """ShapeDtypeStruct pytree matching `template`'s shapes/shardings.
 
-    `template` can be a concrete pytree (its arrays define shape, dtype and
-    sharding) or a pytree of jax.ShapeDtypeStruct. Leaves without a mesh
-    sharding (e.g. optax scalar counters) restore REPLICATED over the
-    same mesh as the sharded leaves — a mixed-device-set state would be
-    rejected by jit.
+    Leaves without a mesh sharding (e.g. optax scalar counters) restore
+    REPLICATED over the same mesh as the sharded leaves — a
+    mixed-device-set state would be rejected by jit.
     """
     from jax.sharding import NamedSharding, PartitionSpec
-
-    ckpt = ocp.StandardCheckpointer()
 
     # Find the mesh used by any NamedSharding leaf in the template.
     mesh = None
@@ -56,7 +52,17 @@ def restore_checkpoint(path: str, template: Any) -> Any:
             s = replicated
         return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=s)
 
-    return ckpt.restore(path, jax.tree_util.tree_map(to_abstract, template))
+    return jax.tree_util.tree_map(to_abstract, template)
+
+
+def restore_checkpoint(path: str, template: Any) -> Any:
+    """Restores into the structure/shardings of `template`.
+
+    `template` can be a concrete pytree (its arrays define shape, dtype
+    and sharding) or a pytree of jax.ShapeDtypeStruct.
+    """
+    ckpt = ocp.StandardCheckpointer()
+    return ckpt.restore(path, _abstract_like(template))
 
 
 class CheckpointManager:
@@ -78,16 +84,8 @@ class CheckpointManager:
             step = self._mgr.latest_step()
         if step is None:
             raise FileNotFoundError("No checkpoint found.")
-        abstract = jax.tree_util.tree_map(
-            lambda x: jax.ShapeDtypeStruct(
-                x.shape, x.dtype, sharding=getattr(x, "sharding", None)
-            )
-            if hasattr(x, "shape")
-            else x,
-            template,
-        )
         return self._mgr.restore(
-            step, args=ocp.args.StandardRestore(abstract)
+            step, args=ocp.args.StandardRestore(_abstract_like(template))
         )
 
     def latest_step(self) -> int | None:

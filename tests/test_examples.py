@@ -161,3 +161,36 @@ def test_example_runs(module, expect):
     assert r.returncode == 0, (r.stdout + r.stderr)[-3000:]
     if expect:
         assert expect in r.stdout, r.stdout[-2000:]
+
+
+def test_ml_perf_checkpoint_resume(tmp_path):
+    """Checkpoint-restart (SURVEY.md §5 failure recovery): a rerun with
+    the same checkpoint_dir must RESUME from the saved step, not start
+    over."""
+    import json
+    import subprocess
+
+    script = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "from examples.ml_perf.main import main\n"
+        f"main('smoke_test', num_steps=6, checkpoint_dir='{tmp_path}/ck',"
+        " checkpoint_every=2)\n"
+    )
+    env = {
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+        "PATH": "/usr/bin:/bin:/usr/local/bin",
+        "PYTHONPATH": "/root/repo",
+    }
+    r1 = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True,
+        env=env, timeout=600,
+    )
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    assert "resumed" not in (r1.stderr + r1.stdout)
+    r2 = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True,
+        env=env, timeout=600,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "resumed from checkpoint step 6" in (r2.stderr + r2.stdout)
