@@ -110,7 +110,9 @@ class CriteoDataset:
 
     # -- tfrecord mode --------------------------------------------------------
     def _example_to_row(self, payload: bytes) -> dict[str, np.ndarray]:
-        ex = parse_example(payload)
+        return self._parsed_to_row(parse_example(payload))
+
+    def _parsed_to_row(self, ex: dict) -> dict[str, np.ndarray]:
         row: dict[str, np.ndarray] = {}
         dense = ex.get(self.dense_key)
         if isinstance(dense, list):  # decode_raw: bytes of f32
@@ -139,19 +141,93 @@ class CriteoDataset:
             raise ValueError(
                 "No files configured; use dummy_batches() instead."
             )
+        from keras_rs_tpu.data import native_io
+
+        use_native = native_io.available()
+        keys = [self.dense_key, self.label_key] + [
+            self.cat_key_fmt.format(i=i)
+            for i in range(len(self.vocab_sizes))
+        ]
         B = self.global_batch_size
         for epoch in range(epochs):
             # Identical shuffle on every process.
             rng = np.random.default_rng(self.shuffle_seed + epoch)
             files = list(self.files)
             rng.shuffle(files)
-            buffer: list[dict[str, np.ndarray]] = []
+            # Carry of whole-file COLUMN arrays across file boundaries.
+            pending: dict[str, np.ndarray] | None = None
             for path in files:
-                for payload in read_tfrecords(path):
-                    buffer.append(self._example_to_row(payload))
-                    if len(buffer) == B:
-                        yield self._host_shard(self._collate(buffer))
-                        buffer = []
+                file_arrays = None
+                if use_native:
+                    # Column fast path: one native pass per file, then
+                    # pure array slicing — no per-record Python (see
+                    # data/native_io.py; fixed-width schemas only, which
+                    # Criteo's decode_raw features are).
+                    res = native_io.parse_file_batched(path, keys)
+                    if res is not None:
+                        n, cols = res
+                        if n:
+                            file_arrays = self._columns_to_arrays(cols)
+                        else:
+                            continue
+                if file_arrays is None:
+                    rows = [
+                        self._example_to_row(payload)
+                        for payload in read_tfrecords(path)
+                    ]
+                    if not rows:
+                        continue
+                    file_arrays = self._collate(rows)
+                if pending is not None:
+                    file_arrays = {
+                        k: np.concatenate([pending[k], v])
+                        for k, v in file_arrays.items()
+                    }
+                n_rows = len(file_arrays["label"])
+                lo = 0
+                while n_rows - lo >= B:
+                    yield self._host_shard(
+                        {k: v[lo : lo + B] for k, v in file_arrays.items()}
+                    )
+                    lo += B
+                pending = (
+                    {k: v[lo:] for k, v in file_arrays.items()}
+                    if lo < n_rows
+                    else None
+                )
+
+    def _columns_to_arrays(
+        self, cols: dict[str, tuple[int, np.ndarray]]
+    ) -> dict[str, np.ndarray]:
+        """Whole-file columns -> the batch dict layout (vectorized
+        equivalent of _parsed_to_row over every record at once)."""
+
+        def reinterpret(key: str, dtype: str) -> np.ndarray:
+            kind, arr = cols[key]
+            if kind == 0:  # decode_raw bytes
+                return np.ascontiguousarray(arr).view(dtype)
+            return arr
+
+        dense = reinterpret(self.dense_key, "<f4")[:, :NUM_DENSE]
+        kind, lab = cols[self.label_key]
+        if kind == 0:
+            lab = np.ascontiguousarray(lab).view("<i4")[:, 0]
+        else:
+            lab = lab[:, 0]
+        out = {
+            "dense": np.ascontiguousarray(dense, np.float32),
+            "label": lab.astype(np.float32),
+        }
+        for i, m in enumerate(self.multi_hot_sizes):
+            cat = reinterpret(self.cat_key_fmt.format(i=i), "<i8")
+            if cat.shape[1] < m:
+                cat = np.pad(
+                    cat, ((0, 0), (0, m - cat.shape[1])), mode="edge"
+                )
+            out[f"cat_{i}"] = np.ascontiguousarray(
+                cat[:, :m], np.int64
+            )
+        return out
 
     def _collate(
         self, rows: list[dict[str, np.ndarray]]

@@ -1,0 +1,189 @@
+"""ctypes binding for the native TFRecord/Example column reader.
+
+Builds native/tfrecord_reader.cc on first use (g++, ~1 s) and exposes
+`parse_file_columns(path, keys)`, which parses EVERY record of a
+TFRecord file in one native pass — ~100x the pure-Python reader's
+record rate (tfrecord.py parses ~5k rec/s; real Criteo training would
+be reader-bound without this, the same reason the reference leans on
+tf.data's C++ kernels). Falls back gracefully: callers check
+`available()` and keep the Python path otherwise.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Any
+
+import numpy as np
+
+_DIR = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+_SOURCE = os.path.join(_DIR, "native", "tfrecord_reader.cc")
+_LIB_PATH = os.path.join(_DIR, "native", "libtfrecord_reader.so")
+
+_lock = threading.Lock()
+_lib: ctypes.CDLL | None = None
+_tried = False
+
+
+def _build() -> bool:
+    if not os.path.exists(_SOURCE):
+        return False
+    try:
+        subprocess.run(
+            [
+                "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                "-o", _LIB_PATH, _SOURCE,
+            ],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except (subprocess.SubprocessError, FileNotFoundError, OSError):
+        return False
+
+
+def get_lib() -> ctypes.CDLL | None:
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_LIB_PATH) and not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+        lib.tfrec_parse_file.restype = ctypes.c_long
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def _parse_raw(path: str, keys: list[str]):
+    """Runs the two native passes; returns (n, buf, offsets, kinds)."""
+    lib = get_lib()
+    assert lib is not None, "native reader unavailable"
+    nk = len(keys)
+    key_bytes = [k.encode() for k in keys]
+    key_arr = (ctypes.c_char_p * nk)(*key_bytes)
+    len_arr = (ctypes.c_long * nk)(*[len(k) for k in key_bytes])
+
+    needed = ctypes.c_long(0)
+    nrec = ctypes.c_long(0)
+    rc = lib.tfrec_parse_file(
+        path.encode(), nk, key_arr, len_arr,
+        None, 0, None, None,
+        ctypes.byref(needed), ctypes.byref(nrec),
+    )
+    if rc < 0:
+        raise OSError(f"native TFRecord sizing pass failed ({rc}): {path}")
+    n = int(nrec.value)
+    buf = np.empty(max(int(needed.value), 1), np.uint8)
+    offsets = np.empty(n * nk + 1, np.int64)
+    kinds = np.empty(max(n * nk, 1), np.int8)
+    rc = lib.tfrec_parse_file(
+        path.encode(), nk, key_arr, len_arr,
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        len(buf),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        kinds.ctypes.data_as(ctypes.POINTER(ctypes.c_byte)),
+        ctypes.byref(needed), ctypes.byref(nrec),
+    )
+    if rc < 0:
+        raise OSError(f"native TFRecord parse failed ({rc}): {path}")
+    return n, buf, offsets, kinds
+
+
+def parse_file_batched(
+    path: str, keys: list[str]
+) -> tuple[int, dict[str, tuple[int, np.ndarray]]] | None:
+    """Whole-file COLUMN extraction for fixed-width schemas.
+
+    When every record stores the same byte width per key (true for
+    Criteo's decode_raw features), the output buffer is one regular
+    [n, record_stride] matrix and each key's column falls out as a
+    single reshape+slice — no per-record Python at all. Returns
+    (n_records, {key: (kind, array)}) with arrays shaped [n, elems]
+    (uint8 for BytesList, f32 for FloatList, i64 for Int64List), or
+    None when widths vary / keys are missing (caller falls back to the
+    per-row API).
+    """
+    n, buf, offsets, kinds = _parse_raw(path, keys)
+    nk = len(keys)
+    if n == 0:
+        return 0, {}
+    kinds2 = kinds[: n * nk].reshape(n, nk)
+    if (kinds2 < 0).any() or (kinds2 != kinds2[0]).any():
+        return None
+    lens = np.diff(offsets).reshape(n, nk)
+    if (lens != lens[0]).any():
+        return None
+    widths = lens[0]
+    stride = int(widths.sum())
+    if stride == 0 or len(buf) < n * stride:
+        return None
+    mat = buf[: n * stride].reshape(n, stride)
+    out: dict[str, tuple[int, np.ndarray]] = {}
+    col_off = 0
+    for k, key in enumerate(keys):
+        w = int(widths[k])
+        kind = int(kinds2[0, k])
+        col = mat[:, col_off : col_off + w]
+        if kind == 1:
+            col = np.ascontiguousarray(col).view("<f4")
+        elif kind == 2:
+            col = np.ascontiguousarray(col).view("<i8")
+        out[key] = (kind, col)
+        col_off += w
+    return n, out
+
+
+def parse_file_columns(
+    path: str, keys: list[str]
+) -> list[dict[str, Any]]:
+    """Parses all records of one TFRecord file for the given keys.
+
+    Returns one dict per record with the SAME value forms as
+    tfrecord.parse_example: BytesList -> [bytes] (first element),
+    FloatList -> np.float32 array, Int64List -> np.int64 array; missing
+    keys are absent.
+    """
+    n, buf, offsets, kinds = _parse_raw(path, keys)
+    nk = len(keys)
+
+    # Zero-copy views into `buf`: memoryview slices don't copy, and
+    # np.frombuffer over them doesn't either (cells are byte-packed, so
+    # views may be unaligned — frombuffer handles that). BytesList cells
+    # hand out memoryview slices; np.frombuffer downstream accepts them.
+    out: list[dict[str, Any]] = []
+    mv = memoryview(buf)
+    kinds_l = kinds.tolist()
+    offs_l = offsets.tolist()
+    frombuffer = np.frombuffer
+    for r in range(n):
+        row: dict[str, Any] = {}
+        base = r * nk
+        for k in range(nk):
+            cell = base + k
+            kind = kinds_l[cell]
+            if kind < 0:
+                continue
+            lo, hi = offs_l[cell], offs_l[cell + 1]
+            if kind == 0:
+                row[keys[k]] = [mv[lo:hi]]
+            elif kind == 1:
+                row[keys[k]] = frombuffer(mv[lo:hi], dtype="<f4")
+            else:
+                row[keys[k]] = frombuffer(mv[lo:hi], dtype="<i8")
+        out.append(row)
+    return out

@@ -151,3 +151,50 @@ def test_multihost_helpers_single_process():
     assert stats == {"a": 3, "b": 7}
     gathered = multihost.process_allgather(np.array([1, 2]))
     assert np.asarray(gathered).shape == (1, 2)
+
+
+def test_native_tfrecord_reader_matches_python(tmp_path, monkeypatch):
+    """The native column reader must produce bit-identical batches to
+    the pure-Python row path (data/native_io.py; ~30x the record rate)."""
+    import numpy as np
+
+    from keras_rs_tpu.data import native_io
+    from keras_rs_tpu.data.criteo import CriteoDataset
+    from keras_rs_tpu.data.tfrecord import make_example, write_tfrecord
+
+    if not native_io.available():
+        import pytest
+
+        pytest.skip("no C++ toolchain")
+
+    rng = np.random.default_rng(0)
+    vocab, mh = [50, 100, 20], [3, 1, 2]
+    recs = []
+    for j in range(300):
+        feats = {
+            "label": np.asarray([j % 2], np.int32)
+            .astype("<i4").tobytes(),
+            "dense_features": rng.normal(size=13)
+            .astype("<f4").tobytes(),
+        }
+        for i, (v, m) in enumerate(zip(vocab, mh)):
+            feats[f"categorical_feature_{i}"] = rng.integers(
+                0, v, size=m
+            ).astype("<i8").tobytes()
+        recs.append(make_example(feats))
+    path = str(tmp_path / "a.tfrecord")
+    write_tfrecord(path, recs)
+
+    ds = CriteoDataset(
+        path, global_batch_size=128, vocab_sizes=vocab,
+        multi_hot_sizes=mh,
+    )
+    native_batches = list(ds.batches())
+    # Force the Python fallback.
+    monkeypatch.setattr(native_io, "available", lambda: False)
+    py_batches = list(ds.batches())
+    assert len(native_batches) == len(py_batches) == 2
+    for a, b in zip(native_batches, py_batches):
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
