@@ -21,6 +21,27 @@ NUM_DENSE = 13
 NUM_CATEGORICAL = 26
 
 
+def _ordered_prefetch(pool, items, fn, depth=2):
+    """Maps fn over items on `pool`, yielding results IN ORDER with at
+    most `depth` in flight."""
+    import collections
+
+    pending = collections.deque()
+    it = iter(items)
+    for _ in range(depth):
+        try:
+            pending.append(pool.submit(fn, next(it)))
+        except StopIteration:
+            break
+    while pending:
+        fut = pending.popleft()
+        try:
+            pending.append(pool.submit(fn, next(it)))
+        except StopIteration:
+            pass
+        yield fut.result()
+
+
 class CriteoDataset:
     """Batches of {dense: [B,13] f32, cat_i: [B,mi] i64, label: [B] f32}.
 
@@ -133,14 +154,43 @@ class CriteoDataset:
             row[f"cat_{i}"] = cat[:m]
         return row
 
+    def _parse_file_arrays(
+        self, path: str, keys: list[str], use_native: bool
+    ) -> dict[str, np.ndarray] | None:
+        """One file -> the batch-dict column arrays (or None if empty)."""
+        if use_native:
+            from keras_rs_tpu.data import native_io
+
+            # Column fast path: one native pass per file, then pure
+            # array slicing — no per-record Python (data/native_io.py;
+            # fixed-width schemas only, which Criteo's decode_raw
+            # features are).
+            res = native_io.parse_file_batched(path, keys)
+            if res is not None:
+                n, cols = res
+                return self._columns_to_arrays(cols) if n else None
+        rows = [
+            self._example_to_row(payload)
+            for payload in read_tfrecords(path)
+        ]
+        return self._collate(rows) if rows else None
+
     def batches(
-        self, epochs: int = 1
+        self, epochs: int = 1, file_prefetch: int = 2
     ) -> Iterator[dict[str, np.ndarray]]:
-        """Shuffled global batches, sliced to this host's shard."""
+        """Shuffled global batches, sliced to this host's shard.
+
+        `file_prefetch` files are parsed ahead on a thread pool (the
+        native reader's C call releases the GIL, so parses genuinely
+        overlap) while batches are emitted IN ORDER — the cross-host
+        identical-shuffle contract is preserved.
+        """
         if not self.files:
             raise ValueError(
                 "No files configured; use dummy_batches() instead."
             )
+        import concurrent.futures as cf
+
         from keras_rs_tpu.data import native_io
 
         use_native = native_io.available()
@@ -149,52 +199,59 @@ class CriteoDataset:
             for i in range(len(self.vocab_sizes))
         ]
         B = self.global_batch_size
-        for epoch in range(epochs):
-            # Identical shuffle on every process.
-            rng = np.random.default_rng(self.shuffle_seed + epoch)
-            files = list(self.files)
-            rng.shuffle(files)
-            # Carry of whole-file COLUMN arrays across file boundaries.
-            pending: dict[str, np.ndarray] | None = None
-            for path in files:
-                file_arrays = None
-                if use_native:
-                    # Column fast path: one native pass per file, then
-                    # pure array slicing — no per-record Python (see
-                    # data/native_io.py; fixed-width schemas only, which
-                    # Criteo's decode_raw features are).
-                    res = native_io.parse_file_batched(path, keys)
-                    if res is not None:
-                        n, cols = res
-                        if n:
-                            file_arrays = self._columns_to_arrays(cols)
-                        else:
-                            continue
-                if file_arrays is None:
-                    rows = [
-                        self._example_to_row(payload)
-                        for payload in read_tfrecords(path)
-                    ]
-                    if not rows:
-                        continue
-                    file_arrays = self._collate(rows)
-                if pending is not None:
-                    file_arrays = {
-                        k: np.concatenate([pending[k], v])
-                        for k, v in file_arrays.items()
-                    }
-                n_rows = len(file_arrays["label"])
-                lo = 0
-                while n_rows - lo >= B:
-                    yield self._host_shard(
-                        {k: v[lo : lo + B] for k, v in file_arrays.items()}
+        pool = (
+            cf.ThreadPoolExecutor(max_workers=max(1, file_prefetch))
+            if file_prefetch and len(self.files) > 1
+            else None
+        )
+        try:
+            for epoch in range(epochs):
+                # Identical shuffle on every process.
+                rng = np.random.default_rng(self.shuffle_seed + epoch)
+                files = list(self.files)
+                rng.shuffle(files)
+                if pool is not None:
+                    sources = _ordered_prefetch(
+                        pool,
+                        files,
+                        lambda p: self._parse_file_arrays(
+                            p, keys, use_native
+                        ),
+                        depth=file_prefetch,
                     )
-                    lo += B
-                pending = (
-                    {k: v[lo:] for k, v in file_arrays.items()}
-                    if lo < n_rows
-                    else None
-                )
+                else:
+                    sources = (
+                        self._parse_file_arrays(p, keys, use_native)
+                        for p in files
+                    )
+                # Carry of column arrays across file boundaries.
+                pending: dict[str, np.ndarray] | None = None
+                for file_arrays in sources:
+                    if file_arrays is None:
+                        continue
+                    if pending is not None:
+                        file_arrays = {
+                            k: np.concatenate([pending[k], v])
+                            for k, v in file_arrays.items()
+                        }
+                    n_rows = len(file_arrays["label"])
+                    lo = 0
+                    while n_rows - lo >= B:
+                        yield self._host_shard(
+                            {
+                                k: v[lo : lo + B]
+                                for k, v in file_arrays.items()
+                            }
+                        )
+                        lo += B
+                    pending = (
+                        {k: v[lo:] for k, v in file_arrays.items()}
+                        if lo < n_rows
+                        else None
+                    )
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False, cancel_futures=True)
 
     def _columns_to_arrays(
         self, cols: dict[str, tuple[int, np.ndarray]]
