@@ -5,6 +5,8 @@
 # Single host / single chip:
 #   ./run.sh smoke_test
 #   ./run.sh v6e_8 --num_steps=1000
+#   ./run.sh smoke_test --device_preprocessing   # id->COO inside the
+#       jitted step: no host preprocessing threads at all
 #
 # Multi-host pod slice (run ON EVERY WORKER, e.g. via
 # `gcloud compute tpus tpu-vm ssh $TPU --worker=all --command=...`):

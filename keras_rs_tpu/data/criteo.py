@@ -169,6 +169,9 @@ class CriteoDataset:
             if res is not None:
                 n, cols = res
                 return self._columns_to_arrays(cols) if n else None
+        # Python fallback: materializes the whole file's rows (fine for
+        # test-sized files; the native column path holds only compact
+        # arrays and is the production route).
         rows = [
             self._example_to_row(payload)
             for payload in read_tfrecords(path)
