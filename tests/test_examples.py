@@ -66,6 +66,18 @@ def test_ml_perf_smoke():
     assert "results" in r.stderr or "results" in r.stdout
 
 
+def test_ml_perf_smoke_device_preprocessing():
+    """The in-jit COO mode must run end to end (capacities auto-sized
+    to the worst case; losses match the host path bit-for-bit — checked
+    on hardware, here just the smoke)."""
+    r = run_example(
+        "examples.ml_perf.main", "--config", "smoke_test",
+        "--device_preprocessing",
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "results" in r.stderr or "results" in r.stdout
+
+
 def test_ml_perf_tfrecord_train_and_val(tmp_path):
     """End-to-end ml_perf on real TFRecord files, incl. the validation
     eval branch (reference: configs/v6e_16_full_dataset.py:11-15)."""
