@@ -47,6 +47,14 @@ class ExperimentConfig:
     #: entirely — see device_preprocessing.py). Capacities are set to
     #: the worst case automatically since the in-jit path cannot grow.
     device_preprocessing: bool = False
+    #: Safety factor over the uniform-MOD-sharding expectation when
+    #: auto-sizing the device path's per-shard UNIQUE capacity (the
+    #: id-bucket capacity is always worst-case). The absolute worst case
+    #: (every id of every shard congruent mod D) would need
+    #: factor=num_shards; that inflates the backward's per-unique-row
+    #: work D-fold, so the default covers 4x skew and training logs the
+    #: observed dropped_ids so residual truncation is visible.
+    device_unique_factor: int = 4
     do_profile: bool = False
     profile_dir: str = "/tmp/keras_rs_tpu_profile"
     checkpoint_dir: str | None = None

@@ -71,7 +71,19 @@ def main(config_name: str = "smoke_test", **overrides) -> dict:
             if v >= cfg.embedding_threshold
         )
         max_ids = (cfg.global_batch_size // D) * large_mh
-        max_unique = max(1, max_ids // D)
+        # Per-shard unique capacity: uniform MOD sharding concentrates
+        # tightly around max_ids/D distinct ids per shard; provision
+        # `device_unique_factor`x that (capped at max_ids, the
+        # one-source-entirely-congruent case). The theoretical worst
+        # case is D*max_ids (EVERY source's ids congruent mod D) but
+        # sizing for it multiplies the backward's per-unique-row work by
+        # D; instead the loop below host-reads DeviceStats.dropped_ids
+        # periodically so any residual truncation is observed, not
+        # silent.
+        max_unique = max(
+            1,
+            min(max_ids, cfg.device_unique_factor * -(-max_ids // D)),
+        )
     model_cfg = DLRMConfig(
         vocab_sizes=cfg.vocab_sizes,
         multi_hot_sizes=cfg.multi_hot_sizes,
@@ -147,6 +159,21 @@ def main(config_name: str = "smoke_test", **overrides) -> dict:
         state = ckpt.restore(start_step, state)
         logger.info("resumed from checkpoint step %d", start_step)
 
+    dropped_fn = None
+    if cfg.device_preprocessing and model.embedding_layer is not None:
+        # Truncation watchdog for the static-capacity device path: one
+        # extra jitted preprocessing pass every 100 steps, host-reading
+        # only the summed dropped_ids scalar (~1% overhead).
+        @jax.jit
+        def dropped_fn(b):
+            large = {
+                f"cat_{i}": b[f"cat_{i}"] for i in model.large_idx
+            }
+            _, stats = model.embedding_layer.preprocess_on_device(
+                large, return_stats=True
+            )
+            return sum(s.dropped_ids for s in stats.values())
+
     t0 = time.time()
     warmup = min(10, max(0, cfg.num_steps - start_step - 1))
     t_warm = t0
@@ -174,9 +201,18 @@ def main(config_name: str = "smoke_test", **overrides) -> dict:
                 step + 1,
                 float(loss),
                 cfg.global_batch_size
-                * (step + 1 - warmup)
+                * (step - start_step + 1 - warmup)
                 / max(time.time() - t_warm, 1e-9),
             )
+            if dropped_fn is not None:
+                n_dropped = int(dropped_fn(batch))
+                if n_dropped:
+                    logger.warning(
+                        "device preprocessing dropped %d ids at step %d "
+                        "(unique capacity overflow — raise "
+                        "device_unique_factor)",
+                        n_dropped, step + 1,
+                    )
     if losses:
         jax.block_until_ready(losses[-1])
     loader.stop()

@@ -165,7 +165,13 @@ class CriteoDataset:
             # array slicing — no per-record Python (data/native_io.py;
             # fixed-width schemas only, which Criteo's decode_raw
             # features are).
-            res = native_io.parse_file_batched(path, keys)
+            try:
+                res = native_io.parse_file_batched(path, keys)
+            except OSError:
+                # Native parse failure (corrupt file, capacity handshake
+                # mismatch): fall back to the per-row Python reader
+                # instead of crashing the input pipeline.
+                res = None
             if res is not None:
                 n, cols = res
                 return self._columns_to_arrays(cols) if n else None

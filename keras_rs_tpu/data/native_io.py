@@ -48,19 +48,49 @@ def _build() -> bool:
         return False
 
 
+def _lib_is_stale() -> bool:
+    """True when the committed .so predates the source it was built from."""
+    try:
+        return os.path.getmtime(_SOURCE) > os.path.getmtime(_LIB_PATH)
+    except OSError:
+        return False
+
+
 def get_lib() -> ctypes.CDLL | None:
     global _lib, _tried
     with _lock:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_LIB_PATH) and not _build():
-            return None
+        if (not os.path.exists(_LIB_PATH) or _lib_is_stale()) and not _build():
+            if not os.path.exists(_LIB_PATH):
+                return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)
         except OSError:
-            return None
+            # Stale/foreign-ABI binary: rebuild once from source.
+            if not _build():
+                return None
+            try:
+                lib = ctypes.CDLL(_LIB_PATH)
+            except OSError:
+                return None
         lib.tfrec_parse_file.restype = ctypes.c_long
+        # Explicit argtypes: without them Python ints marshal as 32-bit
+        # c_int, silently masking out_cap for >2 GB column buffers (the
+        # real-Criteo regime) and corrupting the sizing handshake.
+        lib.tfrec_parse_file.argtypes = [
+            ctypes.c_char_p,                     # path
+            ctypes.c_long,                       # num_keys
+            ctypes.POINTER(ctypes.c_char_p),     # keys
+            ctypes.POINTER(ctypes.c_long),       # key_lens
+            ctypes.POINTER(ctypes.c_uint8),      # out buffer
+            ctypes.c_long,                       # out_cap
+            ctypes.POINTER(ctypes.c_long),       # offsets
+            ctypes.POINTER(ctypes.c_byte),       # kinds
+            ctypes.POINTER(ctypes.c_long),       # needed
+            ctypes.POINTER(ctypes.c_long),       # nrec
+        ]
         _lib = lib
         return _lib
 

@@ -477,12 +477,11 @@ class DistributedEmbedding(Module):
                 return {
                     name: structure.get(name) for name in names
                 }
-            if unknown or missing:
-                raise ValueError(
-                    "Feature inputs keyed by name do not match the "
-                    f"layer's features: unknown {sorted(unknown)}, "
-                    f"missing {sorted(missing)}."
-                )
+            # Keys don't line up with feature names — fall through to the
+            # treedef comparison below: a dict whose keys differ from the
+            # FeatureConfig.name values but whose STRUCTURE exactly
+            # matches feature_configs (e.g. configs keyed "a"/"b" with
+            # names "movie"/"user") is still an unambiguous binding.
 
         leaves, treedef = jax.tree_util.tree_flatten(
             structure, is_leaf=is_leaf
@@ -492,6 +491,16 @@ class DistributedEmbedding(Module):
             and len(leaves) == 1
             and jax.tree_util.treedef_is_leaf(treedef)
         ):
+            if isinstance(structure, Mapping):
+                unknown = set(structure) - set(names)
+                missing = set(names) - set(structure)
+                raise ValueError(
+                    "Feature inputs keyed by name do not match the "
+                    f"layer's features (unknown {sorted(unknown)}, "
+                    f"missing {sorted(missing)}) and their structure "
+                    f"does not match feature_configs either: expected "
+                    f"{self._feature_treedef}, got {treedef}."
+                )
             raise ValueError(
                 "Feature inputs do not match the layer's feature_configs "
                 f"structure. Expected {self._feature_treedef} (or a flat "
@@ -878,17 +887,42 @@ class FrozenEmbedding(Module):
     """
 
     def __init__(self, layer: DistributedEmbedding) -> None:
-        tables = layer.get_embedding_tables()
+        tables = {
+            name: jnp.asarray(v)
+            for name, v in layer.get_embedding_tables().items()
+        }
         self._feature_leaves = list(layer._feature_leaves)
         self._feature_treedef = layer._feature_treedef
-        self.tables = {
-            name: jnp.asarray(v) for name, v in tables.items()
-        }
         self._feature_to_table = {
             fc.name: fc.table.name for fc in self._feature_leaves
         }
         self._combiners = {
             fc.name: fc.table.combiner for fc in self._feature_leaves
+        }
+        # Pre-built per-feature EmbedReduce modules: constructing them
+        # per __call__ would cost Python object churn and a retrace
+        # hazard in the serving hot path this class exists for. The
+        # table arrays live ONLY here (shared-table features reference
+        # the same jax.Array, which costs no extra HBM); `tables` below
+        # derives the export view so the pytree holds each buffer once
+        # per feature, not once per feature plus once per table.
+        self._reducers = {
+            fc.name: EmbedReduce(
+                tables[self._feature_to_table[fc.name]].shape[0],
+                tables[self._feature_to_table[fc.name]].shape[1],
+                table=tables[self._feature_to_table[fc.name]],
+                combiner=self._combiners[fc.name],
+                name=fc.name,
+            )
+            for fc in self._feature_leaves
+        }
+
+    @property
+    def tables(self) -> dict[str, jax.Array]:
+        """Logical [vocab, dim] table per table name (export view)."""
+        return {
+            self._feature_to_table[name]: er.embeddings
+            for name, er in self._reducers.items()
         }
 
     def __call__(self, inputs: Any, weights: Any = None) -> Any:
@@ -908,16 +942,9 @@ class FrozenEmbedding(Module):
         )
         outs = []
         for fc in self._feature_leaves:
-            table = self.tables[self._feature_to_table[fc.name]]
             ids = jnp.asarray(in_leaves[fc.name])
             w = w_leaves.get(fc.name)
-            er = EmbedReduce(
-                table.shape[0],
-                table.shape[1],
-                table=table,
-                combiner=self._combiners[fc.name],
-                name=fc.name,
-            )
+            er = self._reducers[fc.name]
             act = er(ids, None if w is None else jnp.asarray(w))
             out_shape = tuple(fc.output_shape[:-1]) + (act.shape[-1],)
             if tuple(act.shape) != out_shape:

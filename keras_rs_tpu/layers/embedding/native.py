@@ -64,12 +64,22 @@ def get_lib() -> ctypes.CDLL | None:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_LIB_PATH) and not _build():
-            return None
+        stale = os.path.exists(_LIB_PATH) and os.path.exists(
+            _SOURCE
+        ) and os.path.getmtime(_SOURCE) > os.path.getmtime(_LIB_PATH)
+        if (not os.path.exists(_LIB_PATH) or stale) and not _build():
+            if not os.path.exists(_LIB_PATH):
+                return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)
         except OSError:
-            return None
+            # Foreign-ABI/corrupt binary: rebuild once from source.
+            if not _build():
+                return None
+            try:
+                lib = ctypes.CDLL(_LIB_PATH)
+            except OSError:
+                return None
         lib.coo_preprocess.restype = ctypes.c_int
         _lib = lib
         return _lib
