@@ -63,11 +63,52 @@ class CriteoDataset:
         dense_key: str = "dense_features",
         label_key: str = "label",
         cat_key_fmt: str = "categorical_feature_{i}",
+        file_batch_size: int | None = None,
+        dense_keys: Sequence[str] | None = None,
+        cat_keys: Sequence[str] | None = None,
     ) -> None:
+        """See class docstring.
+
+        `file_batch_size` selects the reference's FILE-BATCHED schema
+        (ml_perf/dataloader.py:135-181 + configs/v6e_8_full_dataset.py:
+        17-21): one tf.train.Example holds `file_batch_size` logical
+        records — label = Int64List[N], each of the 13 dense features a
+        FloatList[N] under its own key, each categorical a BytesList of
+        N strings of `8 * multi_hot` raw int64 bytes. Default key names
+        in that mode mirror the reference ("clicked", "int-feature-1..
+        13", "categorical-feature-14..39"); override with `label_key` /
+        `dense_keys` / `cat_keys`.
+        """
         if global_batch_size % process_count:
             raise ValueError(
                 "global_batch_size must be divisible by process_count."
             )
+        self.file_batch_size = file_batch_size
+        if file_batch_size is not None:
+            n_cat = len(vocab_sizes)
+            if label_key == "label":
+                label_key = "clicked"
+            self.dense_keys = list(
+                dense_keys
+                if dense_keys is not None
+                else [f"int-feature-{i}" for i in range(1, NUM_DENSE + 1)]
+            )
+            self.cat_keys = list(
+                cat_keys
+                if cat_keys is not None
+                else [
+                    f"categorical-feature-{i + NUM_DENSE + 1}"
+                    for i in range(n_cat)
+                ]
+            )
+            if len(self.cat_keys) != n_cat:
+                raise ValueError(
+                    f"cat_keys has {len(self.cat_keys)} entries for "
+                    f"{n_cat} vocab_sizes."
+                )
+        else:
+            self.dense_keys = None
+            self.cat_keys = None
         self.file_pattern = file_pattern
         self.files = (
             sorted(globlib.glob(file_pattern)) if file_pattern else []
@@ -154,6 +195,14 @@ class CriteoDataset:
             row[f"cat_{i}"] = cat[:m]
         return row
 
+    def _file_keys(self) -> list[str]:
+        if self.file_batch_size is not None:
+            return [self.label_key] + self.dense_keys + self.cat_keys
+        return [self.dense_key, self.label_key] + [
+            self.cat_key_fmt.format(i=i)
+            for i in range(len(self.vocab_sizes))
+        ]
+
     def _parse_file_arrays(
         self, path: str, keys: list[str], use_native: bool
     ) -> dict[str, np.ndarray] | None:
@@ -174,7 +223,16 @@ class CriteoDataset:
                 res = None
             if res is not None:
                 n, cols = res
-                return self._columns_to_arrays(cols) if n else None
+                if not n:
+                    return None
+                if self.file_batch_size is not None:
+                    out = self._batched_columns_to_arrays(cols)
+                    if out is not None:
+                        return out
+                else:
+                    return self._columns_to_arrays(cols)
+        if self.file_batch_size is not None:
+            return self._batched_python_rows(path)
         # Python fallback: materializes the whole file's rows (fine for
         # test-sized files; the native column path holds only compact
         # arrays and is the production route).
@@ -183,6 +241,87 @@ class CriteoDataset:
             for payload in read_tfrecords(path)
         ]
         return self._collate(rows) if rows else None
+
+    # -- file-batched schema (reference dataloader.py:135-181) --------------
+    def _batched_columns_to_arrays(
+        self, cols: dict[str, tuple[int, np.ndarray]]
+    ) -> dict[str, np.ndarray] | None:
+        """Native columns of the file-batched schema -> flat row arrays.
+
+        Each native row is one proto of `file_batch_size` logical
+        records; everything reshapes with zero per-record work.
+        Returns None if widths don't match the declared schema (caller
+        falls back to the per-proto Python path).
+        """
+        fbs = self.file_batch_size
+        kind, lab = cols[self.label_key]
+        if kind != 2 or lab.shape[1] != fbs:
+            return None
+        out = {"label": lab.reshape(-1).astype(np.float32)}
+        dense_cols = []
+        for k in self.dense_keys:
+            kind, c = cols[k]
+            if kind != 1 or c.shape[1] != fbs:
+                return None
+            dense_cols.append(c)
+        # [13, n, fbs] -> [n*fbs, 13]
+        out["dense"] = np.ascontiguousarray(
+            np.stack(dense_cols, axis=-1).reshape(-1, len(dense_cols)),
+            np.float32,
+        )
+        for i, k in enumerate(self.cat_keys):
+            kind, c = cols[k]
+            m = self.multi_hot_sizes[i]
+            if kind != 0 or c.shape[1] != fbs * m * 8:
+                return None
+            out[f"cat_{i}"] = (
+                np.ascontiguousarray(c)
+                .view("<i8")
+                .reshape(-1, m)
+                .astype(np.int64, copy=False)
+            )
+        return out
+
+    def _batched_python_rows(
+        self, path: str
+    ) -> dict[str, np.ndarray] | None:
+        """Pure-Python fallback for the file-batched schema."""
+        fbs = self.file_batch_size
+        parts: list[dict[str, np.ndarray]] = []
+        for payload in read_tfrecords(path):
+            ex = parse_example(payload)
+            lab = np.asarray(ex[self.label_key], np.int64)[:fbs]
+            dense = np.stack(
+                [
+                    np.asarray(ex[k], np.float32)[:fbs]
+                    for k in self.dense_keys
+                ],
+                axis=1,
+            )
+            part = {
+                "label": lab.astype(np.float32),
+                "dense": dense,
+            }
+            for i, k in enumerate(self.cat_keys):
+                m = self.multi_hot_sizes[i]
+                elems = ex[k]
+                blob = (
+                    b"".join(bytes(e) for e in elems)
+                    if isinstance(elems, list)
+                    else bytes(elems)
+                )
+                part[f"cat_{i}"] = (
+                    np.frombuffer(blob, "<i8")
+                    .reshape(-1, m)[:fbs]
+                    .astype(np.int64)
+                )
+            parts.append(part)
+        if not parts:
+            return None
+        return {
+            k: np.concatenate([p[k] for p in parts])
+            for k in parts[0]
+        }
 
     def batches(
         self, epochs: int = 1, file_prefetch: int = 2
@@ -203,10 +342,7 @@ class CriteoDataset:
         from keras_rs_tpu.data import native_io
 
         use_native = native_io.available()
-        keys = [self.dense_key, self.label_key] + [
-            self.cat_key_fmt.format(i=i)
-            for i in range(len(self.vocab_sizes))
-        ]
+        keys = self._file_keys()
         B = self.global_batch_size
         pool = (
             cf.ThreadPoolExecutor(max_workers=max(1, file_prefetch))
@@ -316,3 +452,90 @@ class CriteoDataset:
         per_host = self.global_batch_size // self.process_count
         lo = self.process_index * per_host
         return {k: v[lo : lo + per_host] for k, v in batch.items()}
+
+
+def write_batched_criteo_files(
+    directory: str,
+    *,
+    num_files: int,
+    protos_per_file: int,
+    file_batch_size: int,
+    vocab_sizes: Sequence[int],
+    multi_hot_sizes: Sequence[int],
+    seed: int = 0,
+    learnable: bool = False,
+    label_key: str = "clicked",
+    dense_keys: Sequence[str] | None = None,
+    cat_keys: Sequence[str] | None = None,
+) -> list[str]:
+    """Writes synthetic Criteo files in the reference's FILE-BATCHED schema.
+
+    Byte-layout parity with the files the reference trains on
+    (ml_perf/dataloader.py:135-181: label Int64List[N], 13 per-key
+    FloatLists[N], categorical BytesLists of N raw-int64 strings), at
+    REAL record size — the loader-benchmark and schema tests read these.
+    Returns the file paths.
+    """
+    import os
+
+    from keras_rs_tpu.data.tfrecord import make_example, write_tfrecord
+
+    n_cat = len(vocab_sizes)
+    dense_keys = list(
+        dense_keys
+        if dense_keys is not None
+        else [f"int-feature-{i}" for i in range(1, NUM_DENSE + 1)]
+    )
+    cat_keys = list(
+        cat_keys
+        if cat_keys is not None
+        else [
+            f"categorical-feature-{i + NUM_DENSE + 1}"
+            for i in range(n_cat)
+        ]
+    )
+    os.makedirs(directory, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    paths = []
+    for f in range(num_files):
+        records = []
+        for _ in range(protos_per_file):
+            feats: dict = {}
+            dense = rng.normal(
+                size=(file_batch_size, NUM_DENSE)
+            ).astype(np.float32)
+            cats = {
+                f"cat_{i}": rng.integers(
+                    0, v, size=(file_batch_size, m), dtype=np.int64
+                )
+                for i, (v, m) in enumerate(
+                    zip(vocab_sizes, multi_hot_sizes)
+                )
+            }
+            if learnable:
+                from keras_rs_tpu.data import synthetic
+
+                labels = synthetic.ctr_labels(
+                    dense, cats, list(vocab_sizes), rng=rng
+                ).astype(np.int64)
+            else:
+                labels = rng.integers(
+                    0, 2, size=(file_batch_size,), dtype=np.int64
+                )
+            feats[label_key] = labels
+            for d, k in enumerate(dense_keys):
+                feats[k] = dense[:, d].copy()
+            for i, k in enumerate(cat_keys):
+                rows = cats[f"cat_{i}"]
+                feats[k] = [
+                    rows[r].astype("<i8").tobytes()
+                    for r in range(file_batch_size)
+                ]
+            records.append(make_example(feats))
+        path = os.path.join(
+            directory,
+            f"train-{f:05d}-of-{num_files:05d}.tfrecord",
+        )
+        write_tfrecord(path, records)
+        paths.append(path)
+    return paths

@@ -91,6 +91,20 @@ def get_lib() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_long),       # needed
             ctypes.POINTER(ctypes.c_long),       # nrec
         ]
+        lib.tfrec_parse_file2.restype = ctypes.c_long
+        lib.tfrec_parse_file2.argtypes = [
+            ctypes.c_char_p,                     # path
+            ctypes.c_long,                       # num_keys
+            ctypes.POINTER(ctypes.c_char_p),     # keys
+            ctypes.POINTER(ctypes.c_long),       # key_lens
+            ctypes.POINTER(ctypes.c_uint8),      # out buffer
+            ctypes.c_long,                       # out_cap
+            ctypes.c_long,                       # n_cap
+            ctypes.POINTER(ctypes.c_long),       # offsets
+            ctypes.POINTER(ctypes.c_long),       # kinds (long in v2)
+            ctypes.POINTER(ctypes.c_long),       # needed
+            ctypes.POINTER(ctypes.c_long),       # nrec
+        ]
         _lib = lib
         return _lib
 
@@ -99,39 +113,77 @@ def available() -> bool:
     return get_lib() is not None
 
 
+# Learned (bytes_out / bytes_in, records / bytes_in) ratios per key
+# set: after the first file of a dataset, subsequent files of the same
+# schema parse in ONE native pass (capacities guessed with 15% margin;
+# an undersized guess returns -2/-3 with exact sizes, so one retry
+# always succeeds). This halves steady-state parse cost vs the legacy
+# sizing+fill protocol.
+_est_lock = threading.Lock()
+_est_cache: dict[tuple, tuple[float, float]] = {}
+
+
 def _parse_raw(path: str, keys: list[str]):
-    """Runs the two native passes; returns (n, buf, offsets, kinds)."""
+    """Parses one file natively; returns (n, buf, offsets, kinds)."""
     lib = get_lib()
     assert lib is not None, "native reader unavailable"
     nk = len(keys)
     key_bytes = [k.encode() for k in keys]
     key_arr = (ctypes.c_char_p * nk)(*key_bytes)
     len_arr = (ctypes.c_long * nk)(*[len(k) for k in key_bytes])
+    fsize = max(os.path.getsize(path), 1)
 
     needed = ctypes.c_long(0)
     nrec = ctypes.c_long(0)
-    rc = lib.tfrec_parse_file(
-        path.encode(), nk, key_arr, len_arr,
-        None, 0, None, None,
-        ctypes.byref(needed), ctypes.byref(nrec),
-    )
-    if rc < 0:
-        raise OSError(f"native TFRecord sizing pass failed ({rc}): {path}")
-    n = int(nrec.value)
-    buf = np.empty(max(int(needed.value), 1), np.uint8)
-    offsets = np.empty(n * nk + 1, np.int64)
-    kinds = np.empty(max(n * nk, 1), np.int8)
-    rc = lib.tfrec_parse_file(
-        path.encode(), nk, key_arr, len_arr,
-        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        len(buf),
-        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
-        kinds.ctypes.data_as(ctypes.POINTER(ctypes.c_byte)),
-        ctypes.byref(needed), ctypes.byref(nrec),
-    )
-    if rc < 0:
-        raise OSError(f"native TFRecord parse failed ({rc}): {path}")
-    return n, buf, offsets, kinds
+    cache_key = tuple(keys)
+    with _est_lock:
+        est = _est_cache.get(cache_key)
+    if est is None:
+        # First file of this schema: exact sizing pass.
+        rc = lib.tfrec_parse_file2(
+            path.encode(), nk, key_arr, len_arr,
+            None, 0, 0, None, None,
+            ctypes.byref(needed), ctypes.byref(nrec),
+        )
+        if rc < 0:
+            raise OSError(
+                f"native TFRecord sizing pass failed ({rc}): {path}"
+            )
+        cap, n_cap = int(needed.value), int(nrec.value)
+    else:
+        cap = int(est[0] * fsize * 1.15) + 4096
+        n_cap = int(est[1] * fsize * 1.15) + 16
+
+    for _ in range(2):
+        buf = np.empty(max(cap, 1), np.uint8)
+        offsets = np.empty(n_cap * nk + 1, np.int64)
+        kinds = np.empty(max(n_cap * nk, 1), np.int64)
+        rc = lib.tfrec_parse_file2(
+            path.encode(), nk, key_arr, len_arr,
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            len(buf), n_cap,
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+            kinds.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+            ctypes.byref(needed), ctypes.byref(nrec),
+        )
+        if rc >= 0:
+            n = int(nrec.value)
+            with _est_lock:
+                _est_cache[cache_key] = (
+                    int(needed.value) / fsize,
+                    n / fsize,
+                )
+            return (
+                n,
+                buf,
+                offsets[: n * nk + 1],
+                kinds[: max(n * nk, 1)],
+            )
+        if rc == -1:
+            raise OSError(f"native TFRecord parse failed ({rc}): {path}")
+        # -2/-3: guessed capacity too small; retry with exact sizes.
+        cap, n_cap = int(needed.value), int(nrec.value)
+    raise OSError(f"native TFRecord parse failed ({rc}): {path}")
 
 
 def parse_file_batched(
@@ -184,7 +236,8 @@ def parse_file_columns(
     """Parses all records of one TFRecord file for the given keys.
 
     Returns one dict per record with the SAME value forms as
-    tfrecord.parse_example: BytesList -> [bytes] (first element),
+    tfrecord.parse_example: BytesList -> [bytes] (all elements
+    CONCATENATED into one blob — fixed-width consumers reshape),
     FloatList -> np.float32 array, Int64List -> np.int64 array; missing
     keys are absent.
     """

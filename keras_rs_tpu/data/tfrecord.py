@@ -174,6 +174,14 @@ def make_example(features: dict[str, Any]) -> bytes:
     for name, value in features.items():
         if isinstance(value, bytes):
             feature = _len_delimited(1, _len_delimited(1, value))
+        elif isinstance(value, (list, tuple)) and value and all(
+            isinstance(v, bytes) for v in value
+        ):
+            # Multi-element BytesList (the reference's file-batched
+            # Criteo schema stores file_batch_size strings per feature,
+            # ml_perf/dataloader.py:150).
+            payload = b"".join(_len_delimited(1, v) for v in value)
+            feature = _len_delimited(1, payload)
         elif isinstance(value, np.ndarray) and value.dtype == np.float32:
             packed = value.astype("<f4").tobytes()
             feature = _len_delimited(2, _len_delimited(1, packed))

@@ -8,13 +8,30 @@
 // file extracts the requested feature columns of every record into one
 // output byte buffer with offsets. Semantics mirror parse_example
 // exactly (same protobuf subset):
-//   kind 0: BytesList  -> FIRST element's raw bytes
+//   kind 0: BytesList  -> ALL elements' raw bytes, concatenated
+//           (the reference's file-batched Criteo schema stores
+//           file_batch_size strings per feature, dataloader.py:150-181;
+//           fixed-width elements reshape on the Python side)
 //   kind 1: FloatList  -> packed little-endian f32
 //   kind 2: Int64List  -> packed little-endian i64 (varints decoded)
 //   kind -1: key missing in the record
 //
+// Two entry points:
+//   tfrec_parse_file  — legacy two-pass API (sizing call + fill call).
+//   tfrec_parse_file2 — single-pass API: caller supplies guessed
+//       capacities (out_cap bytes, n_cap records); the call parses the
+//       file ONCE, reporting exact needed sizes, and returns -2/-3 when
+//       a guess was too small so the caller can retry exactly.
+//       data/native_io.py learns the ratios from the first file of a
+//       dataset and single-passes the rest — ~2x the two-pass rate.
+//
 // Build: g++ -O3 -shared -fPIC -std=c++17 -o libtfrecord_reader.so \
 //            tfrecord_reader.cc   (done on demand by data/native_io.py)
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
 
 #include <cstdint>
 #include <cstdio>
@@ -30,6 +47,8 @@ struct Cursor {
   bool ok = true;
 
   uint64_t varint() {
+    // Fast path: single-byte varint (the common case for tags).
+    if (p < end && !(*p & 0x80)) return *p++;
     uint64_t result = 0;
     int shift = 0;
     while (p < end) {
@@ -95,14 +114,17 @@ bool next_field(Cursor& c, uint32_t* field, uint32_t* wire, Slice* val,
   }
 }
 
+// Output sink writing straight into the caller's buffer. When the
+// buffer is absent or full it keeps COUNTING (so `written` always ends
+// as the exact needed size) but stops copying.
 struct Out {
-  std::vector<uint8_t>* buf;  // nullptr during the sizing pass
+  uint8_t* buf;       // nullptr = sizing mode
+  uint64_t cap = 0;
   uint64_t written = 0;
 
-  void append(const void* src, size_t n) {
-    if (buf) {
-      const uint8_t* s = static_cast<const uint8_t*>(src);
-      buf->insert(buf->end(), s, s + n);
+  inline void append(const void* src, size_t n) {
+    if (buf && written + n <= cap) {
+      std::memcpy(buf + written, src, n);
     }
     written += n;
   }
@@ -119,11 +141,10 @@ int parse_feature(Slice feat, Out& out) {
       Cursor bl{val.p, val.p + val.len};
       while (next_field(bl, &field, &wire, &val, &vv)) {
         if (field == 1 && wire == 2) {
-          out.append(val.p, val.len);  // first element only
-          return 0;
+          out.append(val.p, val.len);  // every element, concatenated
         }
       }
-      return 0;  // empty list
+      return 0;
     }
     if (field == 2 && wire == 2) {  // FloatList
       Cursor fl{val.p, val.p + val.len};
@@ -143,10 +164,18 @@ int parse_feature(Slice feat, Out& out) {
         if (field != 1) continue;
         if (wire == 2) {  // packed varints
           Cursor pv{val.p, val.p + val.len};
+          // Decode into a local block, bulk-append (the per-element
+          // append was a measurable cost at Criteo label widths).
+          int64_t tmp[512];
+          size_t nt = 0;
           while (pv.p < pv.end && pv.ok) {
-            int64_t x = static_cast<int64_t>(pv.varint());
-            out.append(&x, 8);
+            tmp[nt++] = static_cast<int64_t>(pv.varint());
+            if (nt == 512) {
+              out.append(tmp, nt * 8);
+              nt = 0;
+            }
           }
+          if (nt) out.append(tmp, nt * 8);
         } else if (wire == 0) {
           int64_t x = static_cast<int64_t>(vv);
           out.append(&x, 8);
@@ -158,52 +187,73 @@ int parse_feature(Slice feat, Out& out) {
   return -1;
 }
 
-}  // namespace
-
-extern "C" {
-
-// Pass 1 (out_buf == nullptr): fills *n_records_out and *needed_bytes.
-// Pass 2: fills out_buf (cap out_cap), offsets[n*num_keys + 1] (byte
-// offsets into out_buf per (record, key) cell, cumulative) and
-// kinds[n*num_keys]. Returns the number of records, or -1 on error,
-// -2 if out_cap is too small.
-long tfrec_parse_file(const char* path, long num_keys,
-                      const char** keys, const long* key_lens,
-                      uint8_t* out_buf, long out_cap, long* offsets,
-                      signed char* kinds, long* needed_bytes,
-                      long* n_records_out) {
-  FILE* f = std::fopen(path, "rb");
-  if (!f) return -1;
-  std::fseek(f, 0, SEEK_END);
-  long fsize = std::ftell(f);
-  std::fseek(f, 0, SEEK_SET);
-  std::vector<uint8_t> data(static_cast<size_t>(fsize));
-  if (fsize > 0 &&
-      std::fread(data.data(), 1, static_cast<size_t>(fsize), f) !=
-          static_cast<size_t>(fsize)) {
-    std::fclose(f);
-    return -1;
+// Key matcher: length gate first, then backwards memcmp (Criteo key
+// names share long prefixes and differ in their digit suffix).
+inline bool key_eq(const uint8_t* a, size_t alen, const char* b,
+                   long blen) {
+  if (static_cast<long>(alen) != blen) return false;
+  const uint8_t* bb = reinterpret_cast<const uint8_t*>(b);
+  for (long i = blen - 1; i >= 0; --i) {
+    if (a[i] != bb[i]) return false;
   }
-  std::fclose(f);
+  return true;
+}
 
-  std::vector<uint8_t> outvec;
-  Out out{out_buf ? &outvec : nullptr};
-  if (out_buf) outvec.reserve(static_cast<size_t>(out_cap));
+struct MappedFile {
+  const uint8_t* data = nullptr;
+  size_t size = 0;
+  int fd = -1;
+  bool ok = false;
+
+  explicit MappedFile(const char* path) {
+    fd = ::open(path, O_RDONLY);
+    if (fd < 0) return;
+    struct stat st;
+    if (::fstat(fd, &st) != 0) return;
+    size = static_cast<size_t>(st.st_size);
+    if (size == 0) {
+      ok = true;  // empty file: valid, zero records
+      return;
+    }
+    void* m = ::mmap(nullptr, size, PROT_READ, MAP_PRIVATE, fd, 0);
+    if (m == MAP_FAILED) return;
+    ::madvise(m, size, MADV_SEQUENTIAL);
+    data = static_cast<const uint8_t*>(m);
+    ok = true;
+  }
+
+  ~MappedFile() {
+    if (data) ::munmap(const_cast<uint8_t*>(data), size);
+    if (fd >= 0) ::close(fd);
+  }
+};
+
+// Single-pass core. Returns n_records (>=0) on success, -2 if out_cap
+// was too small, -3 if n_cap was too small (offsets/kinds untrustworthy
+// past n_cap; needed_bytes/n_records_out are exact either way).
+template <typename KindT>
+long parse_core(const uint8_t* data, size_t N, long num_keys,
+                const char** keys, const long* key_lens,
+                uint8_t* out_buf, long out_cap, long n_cap,
+                long* offsets, KindT* kinds_out, long* needed_bytes,
+                long* n_records_out) {
+  Out out{out_buf, out_buf ? static_cast<uint64_t>(out_cap) : 0};
+
+  std::vector<Slice> found(static_cast<size_t>(num_keys));
+  std::vector<uint8_t> have(static_cast<size_t>(num_keys), 0);
 
   long n_records = 0;
   size_t pos = 0;
-  const size_t N = data.size();
+  if (offsets && n_cap > 0) offsets[0] = 0;
   while (pos + 12 <= N) {
     uint64_t len;
-    std::memcpy(&len, data.data() + pos, 8);  // little-endian host
+    std::memcpy(&len, data + pos, 8);  // little-endian host
     pos += 12;
     if (pos + len + 4 > N) break;
-    const uint8_t* payload = data.data() + pos;
+    const uint8_t* payload = data + pos;
     pos += len + 4;
 
-    // Per-record per-key feature slices.
-    std::vector<Slice> found(static_cast<size_t>(num_keys));
-    std::vector<bool> have(static_cast<size_t>(num_keys), false);
+    std::memset(have.data(), 0, have.size());
     Cursor ex{payload, payload + len};
     uint32_t field, wire;
     Slice val;
@@ -227,39 +277,90 @@ long tfrec_parse_file(const char* path, long num_keys,
         }
         if (!have_key || !have_feat) continue;
         for (long k = 0; k < num_keys; ++k) {
-          if (static_cast<long>(key_s.len) == key_lens[k] &&
-              std::memcmp(key_s.p, keys[k],
-                          static_cast<size_t>(key_lens[k])) == 0) {
+          if (key_eq(key_s.p, key_s.len, keys[k], key_lens[k])) {
             found[static_cast<size_t>(k)] = feat_s;
-            have[static_cast<size_t>(k)] = true;
+            have[static_cast<size_t>(k)] = 1;
             break;
           }
         }
       }
     }
 
+    bool record_fits = n_records < n_cap;
     for (long k = 0; k < num_keys; ++k) {
       int kind = -1;
       if (have[static_cast<size_t>(k)]) {
         kind = parse_feature(found[static_cast<size_t>(k)], out);
       }
-      if (out_buf) {
+      if (offsets && record_fits) {
         long cell = n_records * num_keys + k;
-        kinds[cell] = static_cast<signed char>(kind);
+        kinds_out[cell] = static_cast<KindT>(kind);
         offsets[cell + 1] = static_cast<long>(out.written);
       }
     }
     ++n_records;
   }
 
-  if (out_buf) {
-    if (static_cast<long>(out.written) > out_cap) return -2;
-    std::memcpy(out_buf, outvec.data(), outvec.size());
-    offsets[0] = 0;
-  }
   if (needed_bytes) *needed_bytes = static_cast<long>(out.written);
   if (n_records_out) *n_records_out = n_records;
+  if (n_records > n_cap && offsets) return -3;
+  if (out_buf && static_cast<long>(out.written) > out_cap) return -2;
   return n_records;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Legacy two-pass API.
+// Pass 1 (out_buf == nullptr): fills *n_records_out and *needed_bytes.
+// Pass 2: fills out_buf (cap out_cap), offsets[n*num_keys + 1] (byte
+// offsets into out_buf per (record, key) cell, cumulative) and
+// kinds[n*num_keys]. Returns the number of records, or -1 on error,
+// -2 if out_cap is too small.
+long tfrec_parse_file(const char* path, long num_keys,
+                      const char** keys, const long* key_lens,
+                      uint8_t* out_buf, long out_cap, long* offsets,
+                      signed char* kinds, long* needed_bytes,
+                      long* n_records_out) {
+  MappedFile mf(path);
+  if (!mf.ok) return -1;
+  if (mf.size == 0) {
+    if (needed_bytes) *needed_bytes = 0;
+    if (n_records_out) *n_records_out = 0;
+    return 0;
+  }
+  if (!out_buf) {
+    return parse_core<signed char>(
+        mf.data, mf.size, num_keys, keys, key_lens, nullptr, 0, 0,
+        nullptr, nullptr, needed_bytes, n_records_out);
+  }
+  // Legacy callers sized offsets/kinds from pass 1, so trust them.
+  long n_cap = 0x7FFFFFFFFFFFFFL;
+  return parse_core<signed char>(
+      mf.data, mf.size, num_keys, keys, key_lens, out_buf, out_cap,
+      n_cap, offsets, kinds, needed_bytes, n_records_out);
+}
+
+// Single-pass API. offsets must hold n_cap*num_keys+1 longs and kinds
+// n_cap*num_keys longs. Returns n_records on success; -1 on IO error;
+// -2 out_cap too small; -3 n_cap too small. needed_bytes/n_records_out
+// are exact on -2/-3, so one retry always succeeds.
+long tfrec_parse_file2(const char* path, long num_keys,
+                       const char** keys, const long* key_lens,
+                       uint8_t* out_buf, long out_cap, long n_cap,
+                       long* offsets, long* kinds,
+                       long* needed_bytes, long* n_records_out) {
+  MappedFile mf(path);
+  if (!mf.ok) return -1;
+  if (mf.size == 0) {
+    if (needed_bytes) *needed_bytes = 0;
+    if (n_records_out) *n_records_out = 0;
+    return 0;
+  }
+  return parse_core<long>(mf.data, mf.size, num_keys, keys, key_lens,
+                          out_buf, out_cap, n_cap, offsets, kinds,
+                          needed_bytes, n_records_out);
 }
 
 }  // extern "C"

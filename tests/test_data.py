@@ -198,3 +198,85 @@ def test_native_tfrecord_reader_matches_python(tmp_path, monkeypatch):
         assert set(a) == set(b)
         for k in a:
             np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+def test_criteo_file_batched_schema(tmp_path, monkeypatch):
+    """Reference file-batched schema: native == Python, right shapes.
+
+    Parity target: ml_perf/dataloader.py:135-181 (label Int64List[N],
+    per-key dense FloatLists, categorical BytesLists of raw-i64
+    strings) with file_batch_size from configs/v6e_8_full_dataset.py.
+    """
+    from keras_rs_tpu.data import native_io
+    from keras_rs_tpu.data.criteo import write_batched_criteo_files
+
+    vocab, mh = [500, 30, 80], [3, 1, 5]
+    write_batched_criteo_files(
+        str(tmp_path),
+        num_files=2,
+        protos_per_file=2,
+        file_batch_size=32,
+        vocab_sizes=vocab,
+        multi_hot_sizes=mh,
+        seed=3,
+    )
+    ds = CriteoDataset(
+        str(tmp_path / "*.tfrecord"),
+        global_batch_size=16,
+        vocab_sizes=vocab,
+        multi_hot_sizes=mh,
+        file_batch_size=32,
+    )
+    assert ds.label_key == "clicked"
+    native_batches = list(ds.batches())
+    assert len(native_batches) == (2 * 2 * 32) // 16
+    b = native_batches[0]
+    assert b["dense"].shape == (16, 13)
+    assert b["cat_0"].shape == (16, 3)
+    assert b["cat_2"].shape == (16, 5)
+    assert set(np.unique(b["label"])) <= {0.0, 1.0}
+    assert b["cat_0"].max() < 500 and b["cat_0"].min() >= 0
+
+    monkeypatch.setattr(native_io, "available", lambda: False)
+    py_batches = list(ds.batches())
+    assert len(py_batches) == len(native_batches)
+    for a, c in zip(native_batches, py_batches):
+        assert set(a) == set(c)
+        for k in a:
+            np.testing.assert_array_equal(a[k], c[k], err_msg=k)
+
+
+def test_native_reader_single_pass_ratio_cache(tmp_path):
+    """Second file of a schema parses via the single-pass path and
+    returns identical results (the learned-ratio protocol)."""
+    from keras_rs_tpu.data import native_io
+
+    rng = np.random.default_rng(0)
+    paths = []
+    for f in range(2):
+        recs = []
+        for j in range(40):
+            recs.append(
+                make_example(
+                    {
+                        "x": rng.integers(0, 99, size=4),
+                        "y": rng.normal(size=3).astype(np.float32),
+                    }
+                )
+            )
+        p = str(tmp_path / f"f{f}.tfrecord")
+        write_tfrecord(p, recs)
+        paths.append(p)
+    if not native_io.available():
+        return
+    native_io._est_cache.clear()
+    n0, cols0 = native_io.parse_file_batched(paths[0], ["x", "y"])
+    assert ("x", "y") in native_io._est_cache
+    n1, cols1 = native_io.parse_file_batched(paths[1], ["x", "y"])
+    assert n0 == n1 == 40
+    assert cols1["x"][1].shape == (40, 4)
+    # Undersized guess retries exactly: poison the cache and reparse.
+    native_io._est_cache[("x", "y")] = (1e-9, 1e-9)
+    n2, cols2 = native_io.parse_file_batched(paths[1], ["x", "y"])
+    assert n2 == 40
+    np.testing.assert_array_equal(cols1["x"][1], cols2["x"][1])
