@@ -30,7 +30,15 @@ import time
 import numpy as np
 
 
-def build(placement: str, mesh, batch_size: int, vocab: int, dim: int):
+def build(
+    placement: str,
+    mesh,
+    batch_size: int,
+    vocab: int,
+    dim: int,
+    vocab_sizes=None,
+    multi_hot_sizes=None,
+):
     import jax
     import optax
 
@@ -41,9 +49,19 @@ def build(placement: str, mesh, batch_size: int, vocab: int, dim: int):
     from keras_rs_tpu.models.dlrm import DLRMConfig, DLRMDCNv2, bce_loss
     from keras_rs_tpu.parallel import mesh as mesh_lib
 
+    if vocab_sizes is None:
+        vocab_sizes = [vocab, vocab // 2, 2000, 500]
+        multi_hot_sizes = [3, 2, 1, 1]
+    # Worst-case per-bucket capacity so NO ids are dropped:
+    # sum_f (B / D) * multi_hot_f for the large-table stack.
+    large_ids = sum(
+        m
+        for v, m in zip(vocab_sizes, multi_hot_sizes)
+        if v >= 21_000
+    )
     cfg = DLRMConfig(
-        vocab_sizes=[vocab, vocab // 2, 2000, 500],
-        multi_hot_sizes=[3, 2, 1, 1],
+        vocab_sizes=vocab_sizes,
+        multi_hot_sizes=multi_hot_sizes,
         num_dense_features=13,
         embedding_dim=dim,
         bottom_mlp=(512, 256, dim),
@@ -51,10 +69,9 @@ def build(placement: str, mesh, batch_size: int, vocab: int, dim: int):
         num_dcn_layers=3,
         dcn_projection_dim=256,
         embedding_threshold=21_000,
-        # Worst-case per-bucket capacity so NO ids are dropped:
-        # sum_f (B / D) * multi_hot_f for the large-table stack.
-        max_ids_per_partition=(batch_size // num_shards) * 5,
-        max_unique_ids_per_partition=(batch_size // num_shards) * 5
+        max_ids_per_partition=(batch_size // num_shards) * large_ids,
+        max_unique_ids_per_partition=(batch_size // num_shards)
+        * large_ids
         // max(1, num_shards),
         learning_rate=0.0034,
         global_batch_size=batch_size,
@@ -283,22 +300,63 @@ def main() -> None:
 
     naive, _, _ = measure("default_device")
 
-    print(
-        json.dumps(
-            {
-                "metric": "dlrm_dcnv2_train_examples_per_sec",
-                "value": round(ours, 1),
-                "unit": "examples/s",
-                "vs_baseline": round(ours / naive, 3),
-                "step_ms": round(step_s * 1e3, 3),
-                "dense_ms": round(dense_s * 1e3, 3),
-                "mfu_dense": round(mfu_dense, 3),
-                "embedding_ms": round(emb_ms, 3),
-                "embedding_floor_ms": round(floor_ms, 3),
-                "embedding_floor_frac": round(floor_frac, 3),
-            }
+    out = {
+        "metric": "dlrm_dcnv2_train_examples_per_sec",
+        "value": round(ours, 1),
+        "unit": "examples/s",
+        "vs_baseline": round(ours / naive, 3),
+        "step_ms": round(step_s * 1e3, 3),
+        "dense_ms": round(dense_s * 1e3, 3),
+        "mfu_dense": round(mfu_dense, 3),
+        "embedding_ms": round(emb_ms, 3),
+        "embedding_floor_ms": round(floor_ms, 3),
+        "embedding_floor_frac": round(floor_frac, 3),
+    }
+
+    # --- flagship-valence variant (VERDICT r2 #2) ------------------------
+    # The reference's MLPerf workload carries ~172 large-table ids per
+    # example (26-table Criteo mix, feature_list_length up to 100 —
+    # reference configs/v6e_8.py:15-172); the default bench shape above
+    # carries 5. This variant keeps the reference's exact multi-hot mix
+    # and caps per-table vocabs (BENCH_VOCAB_CAP) so ~7M stacked rows fit
+    # one chip's HBM — valence (entries/batch ≈ 1.4M) is what's under
+    # test, not capacity. Measured end-to-end like the main pipeline
+    # (in-step device COO preprocessing + sharded lookup).
+    if os.environ.get("BENCH_FLAGSHIP", "1") == "1":
+        from examples.ml_perf.configs import (
+            CRITEO_MULTI_HOT_SIZES,
+            CRITEO_VOCAB_SIZES,
         )
-    )
+
+        cap = int(os.environ.get("BENCH_VOCAB_CAP", 1_000_000))
+        fv = [min(v, cap) for v in CRITEO_VOCAB_SIZES]
+        fb = int(os.environ.get("BENCH_FLAGSHIP_BATCH", batch_size))
+        state_f, step_f, pre_f, cfg_f, _ = build(
+            "sharded", mesh, fb, vocab, dim,
+            vocab_sizes=fv, multi_hot_sizes=CRITEO_MULTI_HOT_SIZES,
+        )
+        run_f = make_scan_runner(step_f, iters)
+        _, state_f = time_block(run_f, state_f, pre_f, host_rt)
+        ts_f = []
+        for _ in range(max(3, blocks - 2)):
+            el, state_f = time_block(run_f, state_f, pre_f, host_rt)
+            ts_f.append(el)
+        del state_f
+        f_s = float(np.median(ts_f)) / iters
+        f_floor = embedding_floor_ms(cfg_f, fb, mesh.devices.size)
+        large_ids = sum(
+            m
+            for v, m in zip(fv, CRITEO_MULTI_HOT_SIZES)
+            if v >= cfg_f.embedding_threshold
+        )
+        out.update(
+            flagship_examples_per_sec=round(fb / f_s, 1),
+            flagship_step_ms=round(f_s * 1e3, 3),
+            flagship_entries_per_batch=large_ids * fb,
+            flagship_embedding_floor_ms=round(f_floor, 3),
+        )
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

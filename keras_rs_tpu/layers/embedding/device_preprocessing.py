@@ -199,6 +199,18 @@ def preprocess_stack_device(
             .reshape(D, D, C)
         )
 
+    # Fold the combiner divisor into the gains (host-path parity: the
+    # same elementwise gather+divide, so bit-identical inputs give
+    # bit-identical folded gains). The lookup kernel never divides.
+    send_gains = send_gains / divisors[
+        jnp.arange(D, dtype=jnp.int32)[:, None, None], send_segs
+    ]
+    # Globalize segment ids (src_device * S_l + seg) — host-path parity;
+    # the lookup consumes these as flat segment-sum offsets.
+    send_segs = send_segs + (
+        jnp.arange(D, dtype=jnp.int32)[:, None, None] * S_l
+    )
+
     # Bucket fill stats.
     counts = bucket_counts[: D * D]
     max_ids = jnp.max(counts) if D * D else jnp.zeros((), jnp.int32)

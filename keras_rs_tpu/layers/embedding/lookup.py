@@ -117,11 +117,12 @@ def stack_lookup(
     send_gains = coo["send_gains"]
     unique_slots = coo["unique_slots"]  # [D, U] int32, P(axis)
     entry_unique = coo["entry_unique"]  # [D, D*C] int32, P(axis)
-    divisors = coo["divisors"]  # [D, S_l] f32, P(axis)
+    # NOTE: coo["divisors"] is stats/debug only — the combiner divisor
+    # is pre-folded into send_gains by all three preprocessing backends,
+    # so this kernel performs no division in either direction.
 
-    def fwd_shard(table, s_slots, s_segs, s_gains, divs):
-        # Local blocks: table [rows_per_shard, dim]; s_* [1, D, C];
-        # divs [1, S_l].
+    def fwd_shard(table, s_slots, s_segs, s_gains):
+        # Local blocks: table [rows_per_shard, dim]; s_* [1, D, C].
         s_slots, s_segs, s_gains = (
             s_slots[0], s_segs[0], s_gains[0]
         )
@@ -139,16 +140,15 @@ def stack_lookup(
         else:
             rows = jnp.take(table, flat_slots, axis=0)
         contrib = rows.astype(jnp.float32) * recv_gains.reshape(-1, 1)
-        src_offsets = (
-            jnp.arange(D, dtype=jnp.int32)[:, None] * S_l + recv_segs
-        )
+        # recv_segs are GLOBAL (src * S_l + seg), pre-offset by the
+        # preprocessing backends — no per-step index arithmetic here.
         partial = jax.ops.segment_sum(
-            contrib, src_offsets.reshape(-1), num_segments=D * S_l
+            contrib, recv_segs.reshape(-1), num_segments=D * S_l
         )  # [D * S_l, dim]
         back = jax.lax.all_to_all(
             partial.reshape(D, S_l, dim), axis, 0, 0, tiled=True
         )  # [D(shard), S_l, dim], now on the segment-owner device
-        acts = jnp.sum(back, axis=0) / divs[0][:, None]
+        acts = jnp.sum(back, axis=0)
         return (
             acts[None],  # [1, S_l, dim]
             recv_slots[None],
@@ -159,25 +159,23 @@ def stack_lookup(
     fwd_mapped = _shard_map(
         fwd_shard,
         mesh,
-        in_specs=(P(axis, None), P(axis), P(axis), P(axis), P(axis)),
+        in_specs=(P(axis, None), P(axis), P(axis), P(axis)),
         out_specs=(P(axis), P(axis), P(axis), P(axis)),
     )
 
     def bwd_shard(table, slots, step, recv_slots, recv_segs, recv_gains,
-                  u_slots, e_unique, divs, d_acts):
+                  u_slots, e_unique, d_acts):
         recv_slots, recv_segs, recv_gains = (
             recv_slots[0], recv_segs[0], recv_gains[0]
         )
-        u_slots, e_unique, divs, d_acts = (
-            u_slots[0], e_unique[0], divs[0], d_acts[0]
+        u_slots, e_unique, d_acts = (
+            u_slots[0], e_unique[0], d_acts[0]
         )
-        g_seg = d_acts / divs[:, None]  # [S_l, dim]
+        g_seg = d_acts  # [S_l, dim]; gains are pre-folded
         g_all = jax.lax.all_gather(g_seg, axis)  # [D, S_l, dim]
-        flat_idx = (
-            jnp.arange(D, dtype=jnp.int32)[:, None] * S_l + recv_segs
-        ).reshape(-1)
+        # recv_segs are global flat indices already (see fwd).
         ge = jnp.take(
-            g_all.reshape(D * S_l, dim), flat_idx, axis=0
+            g_all.reshape(D * S_l, dim), recv_segs.reshape(-1), axis=0
         ) * recv_gains.reshape(-1, 1)
         row_grads = jax.ops.segment_sum(
             ge, e_unique, num_segments=U
@@ -274,7 +272,7 @@ def stack_lookup(
             P(axis, None),  # slots (dict of arrays)
             P(),  # step (replicated)
             P(axis), P(axis), P(axis),  # recv residuals
-            P(axis), P(axis), P(axis),  # unique, entry_unique, divisors
+            P(axis), P(axis),  # unique, entry_unique
             P(axis),  # d_acts
         ),
         out_specs=(P(axis, None), P(axis, None)),
@@ -283,13 +281,13 @@ def stack_lookup(
     @jax.custom_vjp
     def lookup(ts):
         acts, _, _, _ = fwd_mapped(
-            ts["table"], send_slots, send_segs, send_gains, divisors
+            ts["table"], send_slots, send_segs, send_gains
         )
         return acts.reshape(D * S_l, dim)
 
     def lookup_fwd(ts):
         acts, r_slots, r_segs, r_gains = fwd_mapped(
-            ts["table"], send_slots, send_segs, send_gains, divisors
+            ts["table"], send_slots, send_segs, send_gains
         )
         return acts.reshape(D * S_l, dim), (ts, r_slots, r_segs, r_gains)
 
@@ -304,7 +302,6 @@ def stack_lookup(
             r_gains,
             unique_slots,
             entry_unique,
-            divisors,
             d_acts.reshape(D, S_l, dim),
         )
         new_ts = {

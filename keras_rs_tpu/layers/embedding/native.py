@@ -184,6 +184,19 @@ def preprocess_stack_native(
     if rc != 0:
         raise RuntimeError(f"coo_preprocess failed with code {rc}")
 
+    # Fold the combiner divisor into the gains — the IDENTICAL
+    # elementwise expression as preprocessing.py applies, on the C++
+    # engine's bit-identical raw gains/divisors, so cross-backend bit
+    # parity is preserved while the device kernel skips all divisions.
+    send_gains = send_gains / divisors[
+        np.arange(D, dtype=np.int64)[:, None, None], send_segs
+    ]
+    # Globalize segment ids (src_device * S_l + seg) — preprocessing.py
+    # parity; the lookup consumes these as flat segment-sum offsets.
+    send_segs = send_segs + (
+        np.arange(D, dtype=np.int32)[:, None, None] * S_l
+    )
+
     return (
         CooBatch(
             send_slots=send_slots,

@@ -16,10 +16,13 @@ capacity U, F features and local batch Bl (S_l = F * Bl local segments):
 
   send_slots  [D, D, C] i32   entry local row slot, bucketed (src, dst)
   send_segs   [D, D, C] i32   entry local segment id (feature-major)
-  send_gains  [D, D, C] f32   entry weight (0 marks padding)
+  send_gains  [D, D, C] f32   entry weight PRE-DIVIDED by its segment's
+                              combiner divisor (0 marks padding) — the
+                              lookup does no division on device
   unique_slots[D, U]    i32   per-shard deduped slots (padded with sink)
   entry_unique[D, D*C]  i32   received-entry -> unique-slot index
-  divisors    [D, S_l]  f32   per-segment combiner divisor
+  divisors    [D, S_l]  f32   per-segment combiner divisor (stats /
+                              debugging; already folded into the gains)
 """
 
 from __future__ import annotations
@@ -202,6 +205,25 @@ def preprocess_stack(
     send_slots[dd, ss, rr] = slot[within]
     send_segs[dd, ss, rr] = seg[within]
     send_gains[dd, ss, rr] = gain[within]
+
+    # Fold the combiner divisor into the gains (one f32 gather+divide
+    # per entry at preprocess time). The lookup kernel then computes
+    # acts = sum(folded_gain * row) with NO per-step divisions on
+    # device, forward or backward — the step-time win of VERDICT r2 #1.
+    # Padding entries have gain 0, so 0/div stays 0. All three backends
+    # apply this identical elementwise expression to bit-identical
+    # inputs, preserving cross-backend bit parity.
+    send_gains = send_gains / divisors[
+        np.arange(D, dtype=np.int64)[:, None, None], send_segs
+    ]
+    # Globalize segment ids: entry segs become src_device * S_l + seg,
+    # exactly the flat offsets the lookup's segment-sums consume — the
+    # per-step iota*S_l+add on [D*C] ints disappears from the kernel
+    # (fwd src_offsets and bwd flat_idx, lookup.py). Padding entries
+    # (gain 0) land on segment src*S_l and contribute nothing.
+    send_segs = send_segs + (
+        np.arange(D, dtype=np.int32)[:, None, None] * S_l
+    )
 
     # --- per-shard dedup for the backward pass ----------------------------
     # Received layout on shard e: concat over src d of bucket (d, e),

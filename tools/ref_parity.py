@@ -1,0 +1,324 @@
+"""Reference-parity quality runs (BASELINE.md protocol #1).
+
+The reference's examples commit protocols, not numbers, so "matches the
+reference" needs the reference actually run: its JAX backend runs on
+this CPU, so this tool trains REFERENCE-architecture models (keras +
+`/root/reference`'s keras_rs layers/losses/metrics, imported read-only)
+on the SAME synthetic datasets our examples use, with the same
+optimizer/epoch/batch protocol, and prints paired metrics:
+
+  dcn            toy cross-term RMSE, 3 architectures x N seeds
+                 (ref protocol: examples/dcn.py:460-521)
+  basic_ranking  held-out rating RMSE on synthetic MovieLens
+                 (ref: examples/basic_ranking.py:113-190)
+  listwise       NDCG@5 / MRR, PairwiseHingeLoss two-tower
+                 (ref: examples/listwise_ranking.py:247-362)
+  retrieval      held-out recall@10, in-batch-softmax two-tower +
+                 reference BruteForceRetrieval
+                 (ref: examples/basic_retrieval.py:218-307)
+
+"ours" values are produced in-process by the SAME example code paths
+(examples/*.py), so both columns share data, seeds and protocol; a pair
+within run-to-run variance (the dcn task reports +-std across seeds)
+demonstrates quality parity, not just "learns something".
+
+Usage: python tools/ref_parity.py [--runs 5] [--tasks dcn,ranking,...]
+(~10 min CPU). Writes tools/ref_parity_results.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+os.environ["KERAS_BACKEND"] = "jax"
+os.environ.setdefault("CUDA_VISIBLE_DEVICES", "")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+sys.path.insert(0, "/root/reference")  # read-only reference package
+
+import keras  # noqa: E402
+import keras_rs  # noqa: E402  (the REFERENCE package)
+
+
+# --------------------------------------------------------------------------
+# dcn: toy cross-term task, 3 architectures, N seeds (dcn.py:460-521)
+# --------------------------------------------------------------------------
+def ref_dcn(num_runs: int) -> dict:
+    from examples.dcn import make_cross_data
+
+    x, y = make_cross_data(seed=0)
+    xt, yt = make_cross_data(n=2048, seed=123)
+
+    def build(kind: str, seed: int) -> keras.Model:
+        keras.utils.set_random_seed(seed)
+        inp = keras.Input(shape=(6,))
+        h = inp
+        if kind == "cross_full":
+            h = keras_rs.layers.FeatureCross()(h, h)
+        elif kind == "cross_lowrank":
+            h = keras_rs.layers.FeatureCross(projection_dim=3)(h, h)
+        h = keras.layers.Dense(32, activation="relu")(h)
+        h = keras.layers.Dense(32, activation="relu")(h)
+        out = keras.layers.Dense(1)(h)
+        model = keras.Model(inp, out)
+        model.compile(
+            optimizer=keras.optimizers.Adam(0.01), loss="mse"
+        )
+        return model
+
+    out = {}
+    for kind in ("cross_full", "cross_lowrank", "deep_only"):
+        rmses = []
+        for s in range(num_runs):
+            m = build(kind, s)
+            m.fit(x, y, batch_size=512, epochs=8, verbose=0)
+            pred = np.asarray(m.predict(xt, verbose=0))[:, 0]
+            rmses.append(float(np.sqrt(np.mean((pred - yt) ** 2))))
+        out[kind] = (float(np.mean(rmses)), float(np.std(rmses)))
+    return out
+
+
+def ours_dcn(num_runs: int) -> dict:
+    from examples.dcn import run_once
+
+    out = {}
+    for kind in ("cross_full", "cross_lowrank", "deep_only"):
+        rmses = [run_once(kind, s)[0] for s in range(num_runs)]
+        out[kind] = (float(np.mean(rmses)), float(np.std(rmses)))
+    return out
+
+
+# --------------------------------------------------------------------------
+# basic_ranking: embed ids, MLP(256, 64, 1), held-out RMSE
+# --------------------------------------------------------------------------
+def ref_ranking() -> float:
+    from keras_rs_tpu.data import synthetic
+
+    data = synthetic.movielens_like(
+        num_users=943, num_items=1682, num_examples=60_000, seed=0
+    )
+    train = {k: v[:50_000] for k, v in data.items()}
+    test = {k: v[50_000:] for k, v in data.items()}
+
+    keras.utils.set_random_seed(42)
+    u_in = keras.Input(shape=(), dtype="int32")
+    i_in = keras.Input(shape=(), dtype="int32")
+    u = keras.layers.Embedding(943, 32)(u_in)
+    i = keras.layers.Embedding(1682, 32)(i_in)
+    h = keras.layers.Concatenate()([u, i])
+    for units in (256, 64):
+        h = keras.layers.Dense(units, activation="relu")(h)
+    out = keras.layers.Dense(1)(h)
+    model = keras.Model([u_in, i_in], out)
+    # Same documented deviation as ours: Adam instead of the reference's
+    # Adagrad(0.1) (which stalls at the mean predictor on this synthetic
+    # latent-factor task for the reference model too — verified: RMSE
+    # ~0.93 = std(rating)).
+    model.compile(optimizer=keras.optimizers.Adam(3e-3), loss="mse")
+    model.fit(
+        [train["user_id"], train["item_id"]],
+        train["rating"],
+        batch_size=512,
+        epochs=20,
+        verbose=0,
+    )
+    pred = np.asarray(
+        model.predict([test["user_id"], test["item_id"]], verbose=0)
+    )[:, 0]
+    return float(np.sqrt(np.mean((pred - test["rating"]) ** 2)))
+
+
+def ours_ranking() -> float:
+    import examples.basic_ranking as ex
+
+    return ex.main()
+
+
+# --------------------------------------------------------------------------
+# listwise: two-tower scorer, PairwiseHingeLoss, NDCG@5 / MRR held out
+# --------------------------------------------------------------------------
+class _RefListScorer(keras.Model):
+    def __init__(self, num_users: int, num_items: int, dim: int):
+        super().__init__()
+        self.u = keras.layers.Embedding(num_users, dim)
+        self.i = keras.layers.Embedding(num_items, dim)
+
+    def call(self, inputs):
+        users, items = inputs
+        q = self.u(users)[:, None, :]
+        c = self.i(items)
+        return keras.ops.sum(q * c, axis=-1)
+
+
+def ref_listwise() -> dict:
+    from examples.listwise_ranking import make_lists
+
+    users, items, labels = make_lists(seed=0)
+    ev_users, ev_items, ev_labels = make_lists(num_lists=500, seed=7)
+
+    keras.utils.set_random_seed(1)
+    model = _RefListScorer(200, 100, 16)
+    model.compile(
+        optimizer=keras.optimizers.Adagrad(0.3),
+        loss=keras_rs.losses.PairwiseHingeLoss(),
+    )
+    model.fit((users, items), labels, batch_size=256, epochs=10,
+              verbose=0)
+
+    scores = np.asarray(model.predict((ev_users, ev_items), verbose=0))
+    binary = (
+        ev_labels >= ev_labels.max(axis=1, keepdims=True) - 1e-6
+    ).astype(np.float32)
+    ndcg = keras_rs.metrics.NDCG(k=5, shuffle_ties=False)
+    ndcg.update_state(ev_labels, scores)
+    mrr = keras_rs.metrics.MeanReciprocalRank(shuffle_ties=False)
+    mrr.update_state(binary, scores)
+    return {
+        "NDCG@5": float(ndcg.result()),
+        "MRR": float(mrr.result()),
+    }
+
+
+def ours_listwise() -> dict:
+    from keras_rs_tpu import losses
+    from examples.listwise_ranking import evaluate, make_lists, train
+
+    users, items, labels = make_lists(seed=0)
+    eval_lists = make_lists(num_lists=500, seed=7)
+    model = train(losses.PairwiseHingeLoss(), users, items, labels)
+    m = evaluate(model, *eval_lists)
+    return {"NDCG@5": m["NDCG@5"], "MRR": m["MRR"]}
+
+
+# --------------------------------------------------------------------------
+# retrieval: in-batch softmax two-tower + reference BruteForceRetrieval
+# --------------------------------------------------------------------------
+class _RefTwoTower(keras.Model):
+    def __init__(self, num_users: int, num_items: int, dim: int):
+        super().__init__()
+        self.u = keras.layers.Embedding(num_users, dim)
+        self.i = keras.layers.Embedding(num_items, dim)
+
+    def call(self, inputs):
+        users, items = inputs
+        return self.u(users) @ keras.ops.transpose(self.i(items))
+
+
+def ref_retrieval() -> float:
+    from keras_rs_tpu.data import synthetic
+
+    num_users, num_items = 500, 1000
+    data = synthetic.implicit_feedback(
+        num_users=num_users, num_items=num_items, num_events=60_000,
+        holdout_per_user=2, seed=0,
+    )
+
+    keras.utils.set_random_seed(0)
+    model = _RefTwoTower(num_users, num_items, 32)
+    # In-batch sampled softmax == CCE against the identity matrix over
+    # the in-batch score grid (same objective as ours / the reference's
+    # sequential_retrieval.py:343-359).
+    model.compile(
+        optimizer=keras.optimizers.Adagrad(0.2),
+        loss=keras.losses.CategoricalCrossentropy(from_logits=True),
+    )
+    u = data["user_id"]
+    it = data["item_id"]
+    batch, rng = 512, np.random.default_rng(3)
+    n = (len(u) // batch) * batch
+    for _ in range(20):  # epochs
+        perm = rng.permutation(len(u))[:n]
+        ub = u[perm].reshape(-1, batch)
+        ib = it[perm].reshape(-1, batch)
+        eye = np.eye(batch, dtype=np.float32)
+        for k in range(ub.shape[0]):
+            model.train_on_batch((ub[k], ib[k]), eye)
+
+    retrieval = keras_rs.layers.BruteForceRetrieval(
+        candidate_embeddings=keras.ops.convert_to_tensor(
+            np.asarray(model.i.embeddings)
+        ),
+        k=10,
+        return_scores=False,
+    )
+    queries = np.asarray(model.u.embeddings)[data["eval_user_id"]]
+    top = np.asarray(retrieval(keras.ops.convert_to_tensor(queries)))
+    eval_i = data["eval_item_id"]
+    return float(
+        np.mean([eval_i[j] in top[j] for j in range(len(eval_i))])
+    )
+
+
+def ours_retrieval() -> float:
+    import examples.basic_retrieval as ex
+
+    return ex.main()
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--runs", type=int, default=5)
+    p.add_argument(
+        "--tasks", default="dcn,ranking,listwise,retrieval"
+    )
+    args = p.parse_args()
+    tasks = set(args.tasks.split(","))
+    results: dict = {}
+
+    if "dcn" in tasks:
+        ref = ref_dcn(args.runs)
+        ours = ours_dcn(args.runs)
+        results["dcn"] = {"ref": ref, "ours": ours}
+        print(f"dcn toy RMSE ({args.runs} seeds, mean+-std):")
+        for kind in ref:
+            print(
+                f"  {kind:14s} ref {ref[kind][0]:.4f}+-{ref[kind][1]:.4f}"
+                f"  ours {ours[kind][0]:.4f}+-{ours[kind][1]:.4f}"
+            )
+
+    if "ranking" in tasks:
+        ref = ref_ranking()
+        ours = ours_ranking()
+        results["basic_ranking_rmse"] = {"ref": ref, "ours": ours}
+        print(f"basic_ranking held-out RMSE: ref {ref:.4f}  "
+              f"ours {ours:.4f}")
+
+    if "listwise" in tasks:
+        ref = ref_listwise()
+        ours = ours_listwise()
+        results["listwise"] = {"ref": ref, "ours": ours}
+        print(
+            f"listwise hinge: ref NDCG@5 {ref['NDCG@5']:.4f} "
+            f"MRR {ref['MRR']:.4f}  ours NDCG@5 {ours['NDCG@5']:.4f} "
+            f"MRR {ours['MRR']:.4f}"
+        )
+
+    if "retrieval" in tasks:
+        ref = ref_retrieval()
+        ours = ours_retrieval()
+        results["retrieval_recall_at_10"] = {"ref": ref, "ours": ours}
+        print(f"retrieval recall@10: ref {ref:.3f}  ours {ours:.3f}")
+
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "ref_parity_results.json",
+    )
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()
