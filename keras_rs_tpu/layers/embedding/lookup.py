@@ -145,10 +145,13 @@ def stack_lookup(
         partial = jax.ops.segment_sum(
             contrib, recv_segs.reshape(-1), num_segments=D * S_l
         )  # [D * S_l, dim]
-        back = jax.lax.all_to_all(
-            partial.reshape(D, S_l, dim), axis, 0, 0, tiled=True
-        )  # [D(shard), S_l, dim], now on the segment-owner device
-        acts = jnp.sum(back, axis=0)
+        # Partial activations back to each segment's owner: every shard
+        # holds dense per-segment partials, so "all_to_all then sum over
+        # sources" IS a reduce-scatter — one ring collective, no
+        # [D, S_l, dim] intermediate or separate reduction.
+        acts = jax.lax.psum_scatter(
+            partial, axis, scatter_dimension=0, tiled=True
+        )  # [S_l, dim] on the segment-owner device
         return (
             acts[None],  # [1, S_l, dim]
             recv_slots[None],
