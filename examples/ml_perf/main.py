@@ -57,6 +57,18 @@ def main(config_name: str = "smoke_test", **overrides) -> dict:
         cfg.name, mesh.devices.size, jax.process_count(),
     )
 
+    if jax.process_count() > 1 and not cfg.device_preprocessing:
+        # The host COO path builds per-source-device buckets AND the
+        # per-shard dedup maps, which need the GLOBAL batch — a host
+        # only holds its shard. The device path runs the same transform
+        # inside jit on the globally-sharded raw ids, so it is the
+        # multi-host mode (and the faster one regardless).
+        logger.info(
+            "multi-host run: enabling device_preprocessing "
+            "(host-side COO needs the global batch)"
+        )
+        cfg.device_preprocessing = True
+
     max_ids = cfg.max_ids_per_partition
     max_unique = cfg.max_unique_ids_per_partition
     if cfg.device_preprocessing:
@@ -124,7 +136,9 @@ def main(config_name: str = "smoke_test", **overrides) -> dict:
 
     def put_raw(batch):
         # Device-preprocessing mode: host work is just the transfer.
-        return mesh_lib.put_batch(
+        # Each process contributes its host shard; the result is one
+        # globally-sharded array (single-process: plain device_put).
+        return multihost.global_batch_from_host_shards(
             mesh, {k: np.asarray(v) for k, v in batch.items()}
         )
 
@@ -258,27 +272,35 @@ def main(config_name: str = "smoke_test", **overrides) -> dict:
 
     auc_state, acc_state = auc_m.init_state(), acc_m.init_state()
     ck_labels, ck_probs = [], []
+    single_host = jax.process_count() == 1
     for eval_batch in eval_batches:
         pre = (
-            {k: np.asarray(v) for k, v in eval_batch.items()}
+            multihost.global_batch_from_host_shards(
+                mesh, {k: np.asarray(v) for k, v in eval_batch.items()}
+            )
             if cfg.device_preprocessing
             else model.preprocess(eval_batch)
         )
         auc_state, acc_state, probs = eval_step(
             state.model, pre, auc_state, acc_state
         )
-        ck_labels.append(np.asarray(eval_batch["label"]))
-        ck_probs.append(np.asarray(probs))
+        if single_host:
+            ck_labels.append(np.asarray(eval_batch["label"]))
+            ck_probs.append(np.asarray(probs))
     acc = float(acc_m.result_from_state(acc_state))
     auc = float(auc_m.result_from_state(auc_state))
-    exact = binary_auc(
-        np.concatenate(ck_labels), np.concatenate(ck_probs)
-    )
-    if abs(exact - auc) > 0.01:
-        logger.warning(
-            "streaming AUC %.4f deviates from exact rank AUC %.4f",
-            auc, exact,
+    if single_host:
+        # Host cross-check of the streaming approximation (needs
+        # host-addressable probs; the streaming metric itself is
+        # computed in-jit on the global arrays on any topology).
+        exact = binary_auc(
+            np.concatenate(ck_labels), np.concatenate(ck_probs)
         )
+        if abs(exact - auc) > 0.01:
+            logger.warning(
+                "streaming AUC %.4f deviates from exact rank AUC %.4f",
+                auc, exact,
+            )
     if ckpt:
         ckpt.wait_until_finished()
 
