@@ -22,10 +22,8 @@ roofline/naive-relative is the protocol).
 
 from __future__ import annotations
 
-import functools
 import json
 import os
-import time
 
 import numpy as np
 
@@ -163,57 +161,14 @@ def embedding_floor_ms(cfg, batch_size: int, num_shards: int) -> float:
     ) * 1e3 + SEGSUM_MS
 
 
-def make_scan_runner(step, iters: int):
-    """Jit of `iters` chained steps. HONEST timing on the tunneled chip:
-    `block_until_ready` returns before execution completes here, so a
-    python loop over dispatches measures dispatch, not compute. A
-    lax.scan forces serial execution via the state dependency; a host
-    read of the final loss forces true completion (see BASELINE.md,
-    "honest timing protocol")."""
-    import jax
-
-    raw = getattr(step, "__wrapped__", step)
-
-    # Donate the state: without it XLA copies the full tables+slots into
-    # the loop carry (2 x 9.3 ms at bench shape = 0.93 ms/step of pure
-    # artifact). Production steps (training.make_train_step) donate too,
-    # so donation here is the honest representation.
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def run(state, pre):
-        def body(s, _):
-            s2, loss = raw(s, pre)
-            return s2, loss
-
-        s_final, losses = jax.lax.scan(body, state, None, length=iters)
-        return s_final, losses[-1]
-
-    return run
-
-
-def time_block(run, state, pre, host_rt: float):
-    """One timed block; returns (elapsed_s, final_state)."""
-    t0 = time.perf_counter()
-    state, loss = run(state, pre)
-    _ = float(loss)  # host read = true completion
-    return max(time.perf_counter() - t0 - host_rt, 1e-9), state
-
-
-def measure_host_rt() -> float:
-    """Round-trip cost of dispatch + host read of a trivial program."""
-    import jax
-    import jax.numpy as jnp
-
-    @jax.jit
-    def noop(x):
-        return x * 1.0000001
-
-    x = jnp.zeros(())
-    _ = float(noop(x))
-    t0 = time.perf_counter()
-    for _ in range(5):
-        x = noop(x)
-        _ = float(x)
-    return (time.perf_counter() - t0) / 5
+# The honest timing protocol (scan-chained steps + host read, see the
+# module docstring of keras_rs_tpu/utils/timing.py) is library API so
+# the ml_perf entry point and tools share it.
+from keras_rs_tpu.utils.timing import (  # noqa: E402
+    make_scan_runner,
+    measure_host_rt,
+    time_block,
+)
 
 
 def main() -> None:

@@ -56,6 +56,11 @@ class ExperimentConfig:
     #: observed dropped_ids so residual truncation is visible.
     device_unique_factor: int = 4
     do_profile: bool = False
+    #: After training, re-measure the train step under the scan-chained
+    #: honest timing protocol (keras_rs_tpu/utils/timing.py) and report
+    #: `device_step_ms` / `device_examples_per_sec` — the tunnel-proof
+    #: device numbers, independent of host-loader and dispatch effects.
+    honest_timing: bool = False
     profile_dir: str = "/tmp/keras_rs_tpu_profile"
     checkpoint_dir: str | None = None
     checkpoint_every: int = 1000

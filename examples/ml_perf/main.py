@@ -229,12 +229,32 @@ def main(config_name: str = "smoke_test", **overrides) -> dict:
                     )
     if losses:
         jax.block_until_ready(losses[-1])
-    loader.stop()
     throughput = (
         cfg.global_batch_size
         * max(cfg.num_steps - start_step - warmup, 0)
         / max(time.time() - t_warm, 1e-9)
     )
+
+    device_step_ms = None
+    if cfg.honest_timing and losses:
+        # Tunnel-proof device step time: the loop timing above includes
+        # host loading and (through this machine's tunnel) dispatch
+        # fiction — block_until_ready returns before execution finishes.
+        # Chain steps in one jitted scan on the last batch and host-read
+        # the loss (keras_rs_tpu/utils/timing.py). The state is donated
+        # and returned, so training can continue from it.
+        from keras_rs_tpu.utils.timing import measure_step_time
+
+        s_per_step, state = measure_step_time(
+            step_fn, state, batch, iters=20, blocks=3
+        )
+        device_step_ms = s_per_step * 1e3
+        logger.info(
+            "honest device step: %.3f ms (%.1f ex/s on-device)",
+            device_step_ms,
+            cfg.global_batch_size / s_per_step,
+        )
+    loader.stop()
 
     # Eval: streaming BinaryAccuracy + AUC (library metrics; the
     # confusion-state accumulation runs inside the jitted eval step, so
@@ -310,6 +330,11 @@ def main(config_name: str = "smoke_test", **overrides) -> dict:
         "accuracy": acc,
         "auc": auc,
     }
+    if device_step_ms is not None:
+        results["device_step_ms"] = device_step_ms
+        results["device_examples_per_sec"] = (
+            cfg.global_batch_size / (device_step_ms / 1e3)
+        )
     logger.info("results: %s", results)
     return results
 
@@ -325,6 +350,11 @@ if __name__ == "__main__":
         "--device_preprocessing", action="store_true",
         help="run COO preprocessing on-device inside the jitted step",
     )
+    parser.add_argument(
+        "--honest_timing", action="store_true",
+        help="measure the device step under the scan-chained protocol "
+        "after training (tunnel-proof ms/step)",
+    )
     args = parser.parse_args()
     overrides = {}
     if args.num_steps:
@@ -337,6 +367,8 @@ if __name__ == "__main__":
         overrides["do_profile"] = True
     if args.device_preprocessing:
         overrides["device_preprocessing"] = True
+    if args.honest_timing:
+        overrides["honest_timing"] = True
     # Env overrides (documented in run.sh; convenient on --worker=all
     # launches where per-worker flags are awkward).
     import os

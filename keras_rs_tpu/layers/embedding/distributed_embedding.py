@@ -166,14 +166,15 @@ class DistributedEmbedding(Module):
                     )
 
                 # Shard every table-shaped state leaf (2-D split table
-                # + slots, or the 3-D packed table+slots array) by rows;
-                # the step counter replicates. Slots sharded at init
-                # matters for multi-chip HBM and for checkpoint restore
-                # (template shardings must be consistent).
+                # + slots, 1-D row-wise scalar slots, or the 3-D packed
+                # table+slots array) by rows; the scalar step counter
+                # replicates. Slots sharded at init matters for
+                # multi-chip HBM and for checkpoint restore (template
+                # shardings must be consistent).
                 row_sharding = mesh_lib.table_sharding(mesh, axis_name)
                 rep = mesh_lib.replicated(mesh)
                 out_sh = jax.tree_util.tree_map(
-                    lambda x: row_sharding if x.ndim >= 2 else rep,
+                    lambda x: row_sharding if x.ndim >= 1 else rep,
                     jax.eval_shape(make_state, k),
                 )
                 states[stack.name] = jax.jit(

@@ -66,9 +66,16 @@ def init_stack_state(
         packed = jnp.stack(parts, axis=1)  # [R, stride, dim]
         return {"table": packed, "step": jnp.zeros((), jnp.float32)}
     # Optimizer slots stay f32 even for bf16 tables (accumulators need
-    # the precision).
+    # the precision). Row-wise slots hold one scalar per row ([R] 1-D,
+    # 4 B/row — see optimizers.RowWiseAdagrad).
     slots = {
-        name: stack.optimizer.init_slot(name, table.shape, jnp.float32)
+        name: stack.optimizer.init_slot(
+            name,
+            table.shape[:1]
+            if name in stack.optimizer.rowwise_slots
+            else table.shape,
+            jnp.float32,
+        )
         for name in stack.optimizer.slot_names
     }
     return {
@@ -239,6 +246,13 @@ def stack_lookup(
         new_rows, new_slot_rows = optimizer.apply(
             rows, row_grads, slot_rows, step
         )
+        # Row-wise (1-D, one scalar/row) slots update through XLA's 1-D
+        # scatter — U*4 bytes, negligible next to the row DMAs. u_slots
+        # repeats the sink id for padding entries, but those carry a
+        # masked (zero) gradient so every duplicate writes the same
+        # bytes.
+        rw_keys = [k for k in slots if slots[k].ndim == 1]
+        row_keys = [k for k in slots if slots[k].ndim > 1]
         if table.dtype == jnp.bfloat16:
             # Stochastic rounding: deterministic key from (step, shard).
             sr_key = jax.random.fold_in(
@@ -257,28 +271,37 @@ def stack_lookup(
         # are descriptor-rate bound; running them in one kernel overlaps
         # the streams, ~15% over back-to-back single-stream kernels).
         # In place via buffer aliasing; XLA fallback off-TPU.
-        slot_keys = list(slots)
         outs = scatter_rows_unique_multi(
-            [table] + [slots[k] for k in slot_keys],
+            [table] + [slots[k] for k in row_keys],
             u_slots,
-            [new_rows] + [new_slot_rows[k] for k in slot_keys],
+            [new_rows] + [new_slot_rows[k] for k in row_keys],
         )
         new_table = outs[0]
-        new_slots = dict(zip(slot_keys, outs[1:]))
+        new_slots = dict(zip(row_keys, outs[1:]))
+        for k in rw_keys:
+            new_slots[k] = slots[k].at[u_slots].set(
+                new_slot_rows[k], indices_are_sorted=True
+            )
         return new_table, new_slots
 
+    # Per-leaf slot specs: [R, dim] row slots shard as P(axis, None),
+    # [R] row-wise scalar slots as P(axis).
+    slots_spec = {
+        k: P(axis) if v.ndim == 1 else P(axis, None)
+        for k, v in state.get("slots", {}).items()
+    }
     bwd_mapped = _shard_map(
         bwd_shard,
         mesh,
         in_specs=(
             P(axis, None),  # table
-            P(axis, None),  # slots (dict of arrays)
+            slots_spec,  # slots (dict of arrays)
             P(),  # step (replicated)
             P(axis), P(axis), P(axis),  # recv residuals
             P(axis), P(axis),  # unique, entry_unique
             P(axis),  # d_acts
         ),
-        out_specs=(P(axis, None), P(axis, None)),
+        out_specs=(P(axis, None), slots_spec),
     )
 
     @jax.custom_vjp

@@ -263,6 +263,7 @@ def build_stacks(
         packed = (
             group[0].dtype == "float32"
             and n_slots >= 1
+            and not optimizer.rowwise_slots  # scalar slots can't be rows
             and stack_dim % 128 == 0
             and (1 + n_slots) * stack_dim <= 512
         )

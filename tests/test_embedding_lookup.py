@@ -216,7 +216,9 @@ def oracle_row_grads(fcs, inputs, weights, cotangents):
     return grads
 
 
-@pytest.mark.parametrize("optimizer", ["sgd", "adagrad", "adam", "ftrl"])
+@pytest.mark.parametrize(
+    "optimizer", ["sgd", "adagrad", "rowwise_adagrad", "adam", "ftrl"]
+)
 def test_backward_fused_update_matches_oracle(optimizer):
     fcs = make_configs(optimizer=optimizer)
     mesh, stacks, states, raw = setup_stack(fcs)
@@ -254,7 +256,13 @@ def test_backward_fused_update_matches_oracle(optimizer):
         rows = raw[ts.name]
         slots = {
             name: np.asarray(
-                opt.init_slot(name, rows.shape, jnp.float32)
+                opt.init_slot(
+                    name,
+                    rows.shape[:1]
+                    if name in opt.rowwise_slots
+                    else rows.shape,
+                    jnp.float32,
+                )
             )
             for name in opt.slot_names
         }
@@ -372,7 +380,32 @@ def test_unique_overflow_does_not_update_sink():
         )
 
 
-@pytest.mark.parametrize("optimizer", ["adagrad", "adam"])
+def test_rowwise_adagrad_hand_math():
+    """Independent numpy formula (not opt.apply as its own oracle):
+    acc += sum(g^2, -1);  w -= lr * g / (sqrt(acc) + eps)."""
+    rng = np.random.default_rng(11)
+    rows = rng.normal(size=(5, 8)).astype(np.float32)
+    g = rng.normal(size=(5, 8)).astype(np.float32)
+    opt = opt_lib.RowWiseAdagrad(learning_rate=0.5)
+    acc0 = np.asarray(
+        opt.init_slot("accumulator", (5,), jnp.float32)
+    )
+    np.testing.assert_allclose(acc0, 0.1)  # Keras/TPUEmbedding init
+    new_rows, new_slots = opt.apply(
+        jnp.asarray(rows), jnp.asarray(g),
+        {"accumulator": jnp.asarray(acc0)}, jnp.zeros(()),
+    )
+    exp_acc = acc0 + (g**2).sum(axis=-1)
+    exp_rows = rows - 0.5 * g / (
+        np.sqrt(exp_acc)[:, None] + opt.epsilon
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_slots["accumulator"]), exp_acc, rtol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(new_rows), exp_rows, rtol=1e-6)
+
+
+@pytest.mark.parametrize("optimizer", ["adagrad", "rowwise_adagrad", "adam"])
 @pytest.mark.parametrize("dim", [8, 128])  # 8 = split layout, 128 = packed
 def test_two_step_update_matches_oracle(optimizer, dim):
     """Slot state must CARRY between steps: after two fused updates the
@@ -387,7 +420,14 @@ def test_two_step_update_matches_oracle(optimizer, dim):
     fcs = [FeatureConfig("f", t, (B, 2), (B, dim))]
     mesh, stacks, states, raw = setup_stack(fcs)
     stack = stacks[0]
-    assert stack.packed_state == (dim == 128)
+    # Packed layout requires full-row slots; row-wise scalar slots keep
+    # the split layout at any dim.
+    assert stack.packed_state == (
+        dim == 128 and optimizer != "rowwise_adagrad"
+    )
+    if optimizer == "rowwise_adagrad":
+        acc = states[stack.name]["slots"]["accumulator"]
+        assert acc.ndim == 1 and acc.shape[0] == stack.global_rows
     rng = np.random.default_rng(5)
     inputs = {"f": rng.integers(0, 64, size=(B, 2))}
     coo, _ = preprocess_stack(stack, inputs)
@@ -411,7 +451,11 @@ def test_two_step_update_matches_oracle(optimizer, dim):
     opt = opt_lib.get(optimizer)
     rows = jnp.asarray(raw["t"])
     slots = {
-        name: opt.init_slot(name, rows.shape, jnp.float32)
+        name: opt.init_slot(
+            name,
+            rows.shape[:1] if name in opt.rowwise_slots else rows.shape,
+            jnp.float32,
+        )
         for name in opt.slot_names
     }
     rows, slots = opt.apply(rows, jnp.asarray(g), slots, jnp.zeros(()))
