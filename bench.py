@@ -78,6 +78,12 @@ def build(
         # (split state layout + stochastic-rounded updates; the packed
         # layout requires f32 — see BASELINE.md for the tradeoff).
         table_dtype=os.environ.get("BENCH_TABLE_DTYPE", "float32"),
+        # BENCH_EMB_OPTIMIZER=rowwise_adagrad measures the scalar-slot
+        # capacity mode (pairs with bfloat16 tables: ~260 B/row total
+        # state vs 1536 B split-f32).
+        embedding_optimizer=os.environ.get(
+            "BENCH_EMB_OPTIMIZER", "adagrad"
+        ),
     )
     model = DLRMDCNv2(cfg, key=jax.random.key(0), mesh=mesh)
     raw = synthetic.criteo_like_batch(

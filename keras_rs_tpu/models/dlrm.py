@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from keras_rs_tpu.core.module import Module
 from keras_rs_tpu.layers.dense import MLP
-from keras_rs_tpu.layers.embedding.optimizers import Adagrad
+from keras_rs_tpu.layers.embedding import optimizers as opt_lib
 from keras_rs_tpu.layers.embedding.config import FeatureConfig, TableConfig
 from keras_rs_tpu.layers.embedding.distributed_embedding import (
     DistributedEmbedding,
@@ -48,6 +48,7 @@ class DLRMConfig:
         table_placement: str = "auto",
         table_dtype: str = "float32",
         compute_dtype: str | None = "bfloat16",
+        embedding_optimizer: str = "adagrad",
     ):
         self.vocab_sizes = list(vocab_sizes)
         self.multi_hot_sizes = list(
@@ -69,6 +70,10 @@ class DLRMConfig:
         self.table_placement = table_placement
         self.table_dtype = table_dtype
         self.compute_dtype = compute_dtype
+        #: "adagrad" (reference parity, configs/v6e_8.py:195) or
+        #: "rowwise_adagrad" (scalar-per-row accumulator — pairs with
+        #: table_dtype="bfloat16" for the HBM-capacity mode).
+        self.embedding_optimizer = embedding_optimizer
 
 
 class DLRMDCNv2(Module):
@@ -103,7 +108,14 @@ class DLRMDCNv2(Module):
                 name=f"table_{i}",
                 vocabulary_size=cfg.vocab_sizes[i],
                 embedding_dim=cfg.embedding_dim,
-                optimizer=Adagrad(learning_rate=cfg.learning_rate),
+                optimizer=opt_lib.deserialize(
+                    {
+                        "class_name": cfg.embedding_optimizer,
+                        "config": {
+                            "learning_rate": cfg.learning_rate
+                        },
+                    }
+                ),
                 combiner="sum",
                 placement=cfg.table_placement,
                 dtype=cfg.table_dtype,

@@ -90,3 +90,44 @@ def test_dlrm_trains_and_loss_decreases():
         assert float(emb.state.value[stack.name]["step"]) == 8.0
     # Stats observed.
     assert emb.input_stats
+
+
+def test_dlrm_embedding_optimizer_knob():
+    """DLRMConfig.embedding_optimizer selects the fused-table optimizer
+    (capacity mode pairs rowwise_adagrad with bf16 tables: the slot is a
+    1-D f32 scalar per row instead of a full [rows, dim] buffer)."""
+    cfg = DLRMConfig(
+        vocab_sizes=[5000, 100, 3000, 50],
+        multi_hot_sizes=[3, 1, 1, 2],
+        num_dense_features=13,
+        embedding_dim=16,
+        bottom_mlp=(32, 16),
+        top_mlp=(64, 16, 1),
+        num_dcn_layers=2,
+        dcn_projection_dim=8,
+        embedding_threshold=1000,
+        max_ids_per_partition=64,
+        max_unique_ids_per_partition=64,
+        global_batch_size=B,
+        table_placement="sharded",
+        table_dtype="bfloat16",
+        embedding_optimizer="rowwise_adagrad",
+    )
+    mesh = mesh_lib.create_mesh()
+    model = DLRMDCNv2(cfg, key=jax.random.key(0), mesh=mesh)
+    emb = model.embedding_layer
+    for stack in emb.stacks:
+        st = emb.state.value[stack.name]
+        assert st["table"].dtype == jax.numpy.bfloat16
+        acc = st["slots"]["accumulator"]
+        assert acc.ndim == 1 and acc.dtype == jax.numpy.float32
+
+    state = training.create_train_state(model, optax.adagrad(0.01))
+    step = training.make_train_step(bce_loss, optax.adagrad(0.01),
+                                    donate=False)
+    losses = []
+    for i in range(6):
+        pre = state.model.preprocess(make_batch(cfg, mesh), training=True)
+        state, loss = step(state, pre)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses

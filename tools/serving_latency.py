@@ -1,0 +1,158 @@
+"""AOT-compiled serving latency on the real chip (VERDICT r2 #9).
+
+Two production serving shapes, both AOT-compiled (serving.aot_compile —
+no tracing on the hot path) and timed under the honest scan-chained
+protocol (BASELINE.md; `block_until_ready` lies through the tunnel):
+
+  1. DLRM CTR inference: FrozenEmbedding (slot-free tables) + dense
+     stack at serving batches 256/1024/8192.
+  2. Retrieval service: query MLP + streaming exact top-10 over 1M x 128
+     candidates at batches 1/32/256 (reference anecdote anchor:
+     examples/scann.py:254-258 reports ~3 ms ScaNN / ~150 ms brute
+     force on CPU for the same task class).
+
+The scan body feeds a data-dependent perturbation of the ids/queries
+(carry folded into the inputs) and derives the next carry from the
+output, so XLA cannot hoist or DCE the measured op. Tables and
+candidates are passed as ARGUMENTS (closure-captured arrays become jit
+constants and get shipped through the remote compiler).
+
+Run on the live chip; paste the printed table into BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+HOST_RT = 0.033  # measured tunnel round-trip (BASELINE.md)
+
+
+def honest_ms(fn, args, perturb, derive, iters=50):
+    """Median per-call ms of `fn(*args)` with data-dependent chaining.
+
+    perturb(args, tick) -> args', derive(out) -> scalar f32 tick.
+    """
+
+    @jax.jit
+    def run(args):
+        def body(tick, _):
+            out = fn(*perturb(args, tick))
+            t2 = derive(out)
+            return t2, t2
+
+        last, _ = jax.lax.scan(
+            body, jnp.zeros((), jnp.float32), None, length=iters
+        )
+        return last
+
+    _ = float(run(args))  # compile + warm
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ = float(run(args))
+        ts.append(max(time.perf_counter() - t0 - HOST_RT, 1e-9))
+    return float(np.median(ts)) / iters * 1e3
+
+
+def bench_dlrm_inference():
+    from keras_rs_tpu.models.dlrm import DLRMConfig, DLRMDCNv2
+    from keras_rs_tpu.parallel import mesh as mesh_lib
+
+    vocabs = [4_000_000] * 4 + [40_000] * 4 + [100] * 5
+    mh = [3, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1]
+    mesh = mesh_lib.create_mesh()
+    cfg = DLRMConfig(
+        vocab_sizes=vocabs,
+        multi_hot_sizes=mh,
+        global_batch_size=8192,
+        table_placement="default_device",
+    )
+    model = DLRMDCNv2(cfg, key=jax.random.key(0), mesh=None)
+    frozen = model.embedding_layer.freeze()
+    large_idx = list(model.large_idx)
+    del mesh
+
+    def forward(model, frozen, batch):
+        # Inference: slot-free frozen tables feed the dense stack via
+        # the model's precomputed-activations entry — no COO
+        # preprocessing, no optimizer state.
+        large = {f"cat_{i}": batch[f"cat_{i}"] for i in large_idx}
+        b = dict(batch)
+        b["large_acts"] = frozen(large)
+        return jax.nn.sigmoid(model(b))
+
+    from keras_rs_tpu.data import synthetic
+
+    for B in (256, 1024, 8192):
+        raw = synthetic.criteo_like_batch(
+            B, vocab_sizes=vocabs, multi_hot_sizes=mh, seed=0
+        )
+        batch = {k: jnp.asarray(v) for k, v in raw.items()}
+
+        def perturb(args, tick):
+            m, f, b = args
+            # Fold the tick into the dense features only (cheap, keeps
+            # categorical ids in range).
+            b2 = dict(b)
+            b2["dense"] = b["dense"] + tick.astype(b["dense"].dtype) * 1e-6
+            return (m, f, b2)
+
+        def derive(out):
+            return jnp.mean(out).astype(jnp.float32) * 1e-6
+
+        ms = honest_ms(
+            forward, (model, frozen, batch), perturb, derive, iters=30
+        )
+        print(f"[dlrm-infer] B={B}: {ms:.3f} ms/batch "
+              f"({B / ms * 1e3:,.0f} ex/s)")
+
+
+def bench_retrieval_service():
+    from keras_rs_tpu.layers.retrieval.retrieval import BruteForceRetrieval
+
+    N, D, k = 1_000_000, 128, 10
+    rng = np.random.default_rng(0)
+    cands = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32))
+    ids = jnp.arange(N, dtype=jnp.int32)
+    w1 = jnp.asarray(rng.normal(size=(64, D)).astype(np.float32) * 0.1)
+
+    layer = BruteForceRetrieval(k=k, return_scores=True)
+    layer.update_candidates(cands, ids)
+
+    def service(cands, q_raw, w1):
+        q = jnp.tanh(q_raw @ w1)  # query tower
+        layer.candidate_embeddings = cands  # passed as arg, not constant
+        return layer(q)
+
+    for B in (1, 32, 256):
+        q_raw = jnp.asarray(
+            rng.normal(size=(B, 64)).astype(np.float32)
+        )
+
+        def perturb(args, tick):
+            c, q, w = args
+            return (c, q + tick.astype(q.dtype) * 1e-6, w)
+
+        def derive(out):
+            scores = out[0] if isinstance(out, tuple) else out
+            return jnp.mean(scores).astype(jnp.float32) * 1e-6
+
+        ms = honest_ms(
+            service, (cands, q_raw, w1), perturb, derive, iters=30
+        )
+        print(f"[retrieval] B={B}, N=1M, top-{k}: {ms:.3f} ms/batch")
+
+
+def main():
+    print(f"backend: {jax.default_backend()}")
+    bench_retrieval_service()
+    bench_dlrm_inference()
+
+
+if __name__ == "__main__":
+    main()
