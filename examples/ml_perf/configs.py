@@ -61,6 +61,11 @@ class ExperimentConfig:
     #: `device_step_ms` / `device_examples_per_sec` — the tunnel-proof
     #: device numbers, independent of host-loader and dispatch effects.
     honest_timing: bool = False
+    #: Evaluate (streaming AUC/accuracy over the eval batches) every N
+    #: training steps and record an `auc_curve` in the results — the
+    #: convergence-to-plateau evidence (reference target protocol:
+    #: configs/v6e_32_full_dataset.py:205, AUC 0.8275). 0 = final only.
+    eval_every: int = 0
     profile_dir: str = "/tmp/keras_rs_tpu_profile"
     checkpoint_dir: str | None = None
     checkpoint_every: int = 1000

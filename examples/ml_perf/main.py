@@ -188,10 +188,71 @@ def main(config_name: str = "smoke_test", **overrides) -> dict:
             )
             return sum(s.dropped_ids for s in stats.values())
 
+    # Eval: streaming BinaryAccuracy + AUC (library metrics; the
+    # confusion-state accumulation runs inside the jitted eval step, so
+    # only the tiny metric state crosses to the host). Reused by the
+    # per-eval_every curve points and the final eval.
+    from keras_rs_tpu.metrics import AUC, BinaryAccuracy
+
+    auc_m, acc_m = AUC(num_thresholds=512), BinaryAccuracy()
+
+    @jax.jit
+    def eval_step(m, b, auc_state, acc_state):
+        if cfg.device_preprocessing:
+            b = m.preprocess_on_device(b)
+        logits = m(b)
+        probs = jax.nn.sigmoid(logits)
+        labels = b["label"]
+        return (
+            auc_m.update(auc_state, labels, probs),
+            acc_m.update(acc_state, labels, probs),
+            probs,
+        )
+
+    def eval_batch_iter():
+        if cfg.val_file_pattern:
+            val_dataset = CriteoDataset(
+                cfg.val_file_pattern,
+                global_batch_size=cfg.global_batch_size,
+                vocab_sizes=cfg.vocab_sizes,
+                multi_hot_sizes=cfg.multi_hot_sizes,
+                process_index=jax.process_index(),
+                process_count=jax.process_count(),
+            )
+            return val_dataset.batches(epochs=1)
+        return dataset.dummy_batches(4, seed=777)
+
+    def run_eval(m, collect_probs=False):
+        """Returns (accuracy, auc, labels, probs) over the eval set."""
+        auc_state, acc_state = auc_m.init_state(), acc_m.init_state()
+        ck_labels, ck_probs = [], []
+        for eval_batch in eval_batch_iter():
+            pre = (
+                multihost.global_batch_from_host_shards(
+                    mesh,
+                    {k: np.asarray(v) for k, v in eval_batch.items()},
+                )
+                if cfg.device_preprocessing
+                else model.preprocess(eval_batch)
+            )
+            auc_state, acc_state, probs = eval_step(
+                m, pre, auc_state, acc_state
+            )
+            if collect_probs:
+                ck_labels.append(np.asarray(eval_batch["label"]))
+                ck_probs.append(np.asarray(probs))
+        return (
+            float(acc_m.result_from_state(acc_state)),
+            float(auc_m.result_from_state(auc_state)),
+            ck_labels,
+            ck_probs,
+        )
+
     t0 = time.time()
     warmup = min(10, max(0, cfg.num_steps - start_step - 1))
     t_warm = t0
     losses = []
+    auc_curve = []
     for step in range(start_step, cfg.num_steps):
         if cfg.do_profile and step == 10:
             jax.profiler.start_trace(cfg.profile_dir)
@@ -209,6 +270,15 @@ def main(config_name: str = "smoke_test", **overrides) -> dict:
             jax.profiler.stop_trace()
         if ckpt and (step + 1) % cfg.checkpoint_every == 0:
             ckpt.save(step + 1, state)
+        if cfg.eval_every and (step + 1) % cfg.eval_every == 0:
+            acc_pt, auc_pt, _, _ = run_eval(state.model)
+            auc_curve.append(
+                {"step": step + 1, "auc": auc_pt, "accuracy": acc_pt}
+            )
+            logger.info(
+                "eval @ step %d: auc %.4f acc %.4f",
+                step + 1, auc_pt, acc_pt,
+            )
         if (step + 1) % 100 == 0:
             logger.info(
                 "step %d loss %.5f (%.1f ex/s post-warmup)",
@@ -256,59 +326,13 @@ def main(config_name: str = "smoke_test", **overrides) -> dict:
         )
     loader.stop()
 
-    # Eval: streaming BinaryAccuracy + AUC (library metrics; the
-    # confusion-state accumulation runs inside the jitted eval step, so
-    # only the tiny metric state crosses to the host). The host-side
-    # exact rank-based AUC cross-checks the thresholded approximation.
-    from keras_rs_tpu.metrics import AUC, BinaryAccuracy
-
-    auc_m, acc_m = AUC(num_thresholds=512), BinaryAccuracy()
-
-    @jax.jit
-    def eval_step(m, b, auc_state, acc_state):
-        if cfg.device_preprocessing:
-            b = m.preprocess_on_device(b)
-        logits = m(b)
-        probs = jax.nn.sigmoid(logits)
-        labels = b["label"]
-        return (
-            auc_m.update(auc_state, labels, probs),
-            acc_m.update(acc_state, labels, probs),
-            probs,
-        )
-
-    if cfg.val_file_pattern:
-        val_dataset = CriteoDataset(
-            cfg.val_file_pattern,
-            global_batch_size=cfg.global_batch_size,
-            vocab_sizes=cfg.vocab_sizes,
-            multi_hot_sizes=cfg.multi_hot_sizes,
-            process_index=jax.process_index(),
-            process_count=jax.process_count(),
-        )
-        eval_batches = val_dataset.batches(epochs=1)
-    else:
-        eval_batches = dataset.dummy_batches(4, seed=777)
-
-    auc_state, acc_state = auc_m.init_state(), acc_m.init_state()
-    ck_labels, ck_probs = [], []
+    # Final eval; the host-side exact rank-based AUC cross-checks the
+    # thresholded streaming approximation (single-host only: it needs
+    # host-addressable probs).
     single_host = jax.process_count() == 1
-    for eval_batch in eval_batches:
-        pre = (
-            multihost.global_batch_from_host_shards(
-                mesh, {k: np.asarray(v) for k, v in eval_batch.items()}
-            )
-            if cfg.device_preprocessing
-            else model.preprocess(eval_batch)
-        )
-        auc_state, acc_state, probs = eval_step(
-            state.model, pre, auc_state, acc_state
-        )
-        if single_host:
-            ck_labels.append(np.asarray(eval_batch["label"]))
-            ck_probs.append(np.asarray(probs))
-    acc = float(acc_m.result_from_state(acc_state))
-    auc = float(auc_m.result_from_state(auc_state))
+    acc, auc, ck_labels, ck_probs = run_eval(
+        state.model, collect_probs=single_host
+    )
     if single_host:
         # Host cross-check of the streaming approximation (needs
         # host-addressable probs; the streaming metric itself is
@@ -330,6 +354,8 @@ def main(config_name: str = "smoke_test", **overrides) -> dict:
         "accuracy": acc,
         "auc": auc,
     }
+    if auc_curve:
+        results["auc_curve"] = auc_curve
     if device_step_ms is not None:
         results["device_step_ms"] = device_step_ms
         results["device_examples_per_sec"] = (
@@ -351,6 +377,10 @@ if __name__ == "__main__":
         help="run COO preprocessing on-device inside the jitted step",
     )
     parser.add_argument(
+        "--eval_every", type=int, default=None,
+        help="evaluate every N steps and record an AUC curve",
+    )
+    parser.add_argument(
         "--honest_timing", action="store_true",
         help="measure the device step under the scan-chained protocol "
         "after training (tunnel-proof ms/step)",
@@ -369,6 +399,8 @@ if __name__ == "__main__":
         overrides["device_preprocessing"] = True
     if args.honest_timing:
         overrides["honest_timing"] = True
+    if args.eval_every:
+        overrides["eval_every"] = args.eval_every
     # Env overrides (documented in run.sh; convenient on --worker=all
     # launches where per-worker flags are awkward).
     import os
