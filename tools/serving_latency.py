@@ -22,7 +22,6 @@ Run on the live chip; paste the printed table into BASELINE.md.
 
 from __future__ import annotations
 
-import functools
 import time
 
 import jax
@@ -59,36 +58,41 @@ def honest_ms(fn, args, perturb, derive, iters=50):
     return float(np.median(ts)) / iters * 1e3
 
 
-def bench_dlrm_inference():
+def bench_dlrm_inference(small=False):
     from keras_rs_tpu.models.dlrm import DLRMConfig, DLRMDCNv2
-    from keras_rs_tpu.parallel import mesh as mesh_lib
 
-    vocabs = [4_000_000] * 4 + [40_000] * 4 + [100] * 5
-    mh = [3, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1]
-    mesh = mesh_lib.create_mesh()
-    cfg = DLRMConfig(
-        vocab_sizes=vocabs,
-        multi_hot_sizes=mh,
-        global_batch_size=8192,
-        table_placement="default_device",
-    )
-    model = DLRMDCNv2(cfg, key=jax.random.key(0), mesh=None)
-    frozen = model.embedding_layer.freeze()
-    large_idx = list(model.large_idx)
-    del mesh
-
-    def forward(model, frozen, batch):
-        # Inference: slot-free frozen tables feed the dense stack via
-        # the model's precomputed-activations entry — no COO
-        # preprocessing, no optimizer state.
-        large = {f"cat_{i}": batch[f"cat_{i}"] for i in large_idx}
-        b = dict(batch)
-        b["large_acts"] = frozen(large)
-        return jax.nn.sigmoid(model(b))
-
+    if small:
+        vocabs = [50_000, 30_000, 100, 50]
+        mh = [3, 2, 1, 1]
+    else:
+        # 4 x 1M large tables (1M rows keeps frozen + training state
+        # comfortably inside one chip) + small in-model tables.
+        vocabs = [1_000_000] * 4 + [40_000] * 4 + [100] * 5
+        mh = [3, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1]
     from keras_rs_tpu.data import synthetic
 
-    for B in (256, 1024, 8192):
+    for B in ((256,) if small else (256, 1024, 8192)):
+        # FeatureConfig input shapes are static per build: one model per
+        # serving batch size (standard AOT serving practice).
+        cfg = DLRMConfig(
+            vocab_sizes=vocabs,
+            multi_hot_sizes=mh,
+            global_batch_size=B,
+            table_placement="default_device",
+        )
+        model = DLRMDCNv2(cfg, key=jax.random.key(0), mesh=None)
+        frozen = model.embedding_layer.freeze()
+        large_idx = list(model.large_idx)
+
+        def forward(model, frozen, batch):
+            # Inference: slot-free frozen tables feed the dense stack
+            # via the model's precomputed-activations entry — no COO
+            # preprocessing, no optimizer state.
+            large = {f"cat_{i}": batch[f"cat_{i}"] for i in large_idx}
+            b = dict(batch)
+            b["large_acts"] = frozen(large)
+            return jax.nn.sigmoid(model(b))
+
         raw = synthetic.criteo_like_batch(
             B, vocab_sizes=vocabs, multi_hot_sizes=mh, seed=0
         )
@@ -110,12 +114,13 @@ def bench_dlrm_inference():
         )
         print(f"[dlrm-infer] B={B}: {ms:.3f} ms/batch "
               f"({B / ms * 1e3:,.0f} ex/s)")
+        del model, frozen
 
 
-def bench_retrieval_service():
+def bench_retrieval_service(small=False):
     from keras_rs_tpu.layers.retrieval.retrieval import BruteForceRetrieval
 
-    N, D, k = 1_000_000, 128, 10
+    N, D, k = (20_000, 32, 10) if small else (1_000_000, 128, 10)
     rng = np.random.default_rng(0)
     cands = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32))
     ids = jnp.arange(N, dtype=jnp.int32)
@@ -124,9 +129,10 @@ def bench_retrieval_service():
     layer = BruteForceRetrieval(k=k, return_scores=True)
     layer.update_candidates(cands, ids)
 
-    def service(cands, q_raw, w1):
+    def service(layer, q_raw, w1):
+        # The layer is a pytree argument: its 1M x 128 candidate table
+        # enters as a buffer, not a jit constant.
         q = jnp.tanh(q_raw @ w1)  # query tower
-        layer.candidate_embeddings = cands  # passed as arg, not constant
         return layer(q)
 
     for B in (1, 32, 256):
@@ -135,23 +141,34 @@ def bench_retrieval_service():
         )
 
         def perturb(args, tick):
-            c, q, w = args
-            return (c, q + tick.astype(q.dtype) * 1e-6, w)
+            lyr, q, w = args
+            return (lyr, q + tick.astype(q.dtype) * 1e-6, w)
 
         def derive(out):
             scores = out[0] if isinstance(out, tuple) else out
             return jnp.mean(scores).astype(jnp.float32) * 1e-6
 
         ms = honest_ms(
-            service, (cands, q_raw, w1), perturb, derive, iters=30
+            service, (layer, q_raw, w1), perturb, derive, iters=30
         )
-        print(f"[retrieval] B={B}, N=1M, top-{k}: {ms:.3f} ms/batch")
+        print(f"[retrieval] B={B}, N={N}, top-{k}: {ms:.3f} ms/batch")
 
 
 def main():
+    import sys
+
+    small = "--small" in sys.argv
+    if small:
+        import os
+
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=8"
+        )
+        jax.config.update("jax_platforms", "cpu")
     print(f"backend: {jax.default_backend()}")
-    bench_retrieval_service()
-    bench_dlrm_inference()
+    bench_retrieval_service(small)
+    bench_dlrm_inference(small)
 
 
 if __name__ == "__main__":
