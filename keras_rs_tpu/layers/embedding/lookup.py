@@ -33,9 +33,11 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from keras_rs_tpu.layers.embedding.stacking import TableStack
+from keras_rs_tpu.ops import bitpack
 from keras_rs_tpu.ops.quant import cast_rows_for_storage
 from keras_rs_tpu.ops.row_ops import (
     scatter_row_blocks_unique,
+    scatter_rows_unique,
     scatter_rows_unique_multi,
 )
 
@@ -65,15 +67,22 @@ def init_stack_state(
         ]
         packed = jnp.stack(parts, axis=1)  # [R, stride, dim]
         return {"table": packed, "step": jnp.zeros((), jnp.float32)}
+    logical_shape = table.shape
+    if stack.bitpacked_state:
+        # bf16 rows bit-packed pairwise into uint32 words: gathers at
+        # the f32 descriptor rate, updates through the proven 4-byte
+        # Pallas kernel (ops/bitpack.py). Slots stay f32 at the LOGICAL
+        # row count.
+        table = bitpack.pack_rows(table.astype(jnp.bfloat16))
     # Optimizer slots stay f32 even for bf16 tables (accumulators need
     # the precision). Row-wise slots hold one scalar per row ([R] 1-D,
     # 4 B/row — see optimizers.RowWiseAdagrad).
     slots = {
         name: stack.optimizer.init_slot(
             name,
-            table.shape[:1]
+            logical_shape[:1]
             if name in stack.optimizer.rowwise_slots
-            else table.shape,
+            else logical_shape,
             jnp.float32,
         )
         for name in stack.optimizer.slot_names
@@ -118,6 +127,8 @@ def stack_lookup(
     # init_stack_state); slot ids scale by it on every table access.
     stride = stack.state_stride
     packed = stack.packed_state
+    bitpacked = stack.bitpacked_state
+    is_bf16 = stack.dtype == "bfloat16"
 
     send_slots = coo["send_slots"]  # [D, D, C] int32, P(axis)
     send_segs = coo["send_segs"]
@@ -144,6 +155,11 @@ def stack_lookup(
             # even though it fetches the slot rows too (row gathers are
             # descriptor-bound; see ops/row_ops.py).
             rows = jnp.take(table, flat_slots, axis=0)[:, 0]
+        elif bitpacked:
+            # uint32 pair-word gather at the f32 descriptor rate + a
+            # vectorized halfword extract (ops/bitpack.py) — measured
+            # faster than gathering bf16 rows directly.
+            rows, _ = bitpack.take_rows(table, flat_slots)
         else:
             rows = jnp.take(table, flat_slots, axis=0)
         contrib = rows.astype(jnp.float32) * recv_gains.reshape(-1, 1)
@@ -236,9 +252,17 @@ def stack_lookup(
                 table, u_slots, new_blk
             )
             return new_table, {}
-        rows = jnp.take(
-            table, u_slots, axis=0, indices_are_sorted=True
-        ).astype(jnp.float32)
+        if bitpacked:
+            # One uint32 pair-word gather serves BOTH the current-row
+            # fetch and (reused below) the partner halves of the merge.
+            rows_bf16, pair_words = bitpack.take_rows(
+                table, u_slots, indices_are_sorted=True
+            )
+            rows = rows_bf16.astype(jnp.float32)
+        else:
+            rows = jnp.take(
+                table, u_slots, axis=0, indices_are_sorted=True
+            ).astype(jnp.float32)
         slot_rows = {
             k: jnp.take(v, u_slots, axis=0, indices_are_sorted=True)
             for k, v in slots.items()
@@ -253,7 +277,7 @@ def stack_lookup(
         # bytes.
         rw_keys = [k for k in slots if slots[k].ndim == 1]
         row_keys = [k for k in slots if slots[k].ndim > 1]
-        if table.dtype == jnp.bfloat16:
+        if is_bf16:
             # Stochastic rounding: deterministic key from (step, shard).
             sr_key = jax.random.fold_in(
                 jax.random.fold_in(
@@ -266,18 +290,42 @@ def stack_lookup(
             )
         else:
             new_rows = new_rows.astype(table.dtype)
-        # Unique-row scatter: ONE Pallas kernel with interleaved DMA
-        # streams for the table and every optimizer slot (the scatters
-        # are descriptor-rate bound; running them in one kernel overlaps
-        # the streams, ~15% over back-to-back single-stream kernels).
-        # In place via buffer aliasing; XLA fallback off-TPU.
-        outs = scatter_rows_unique_multi(
-            [table] + [slots[k] for k in row_keys],
-            u_slots,
-            [new_rows] + [new_slot_rows[k] for k in row_keys],
-        )
-        new_table = outs[0]
-        new_slots = dict(zip(row_keys, outs[1:]))
+        if bitpacked:
+            # Merge each row's bits with its pair partner's half and
+            # write whole uint32 words through the proven 4-byte Pallas
+            # row kernel (ops/bitpack.py): descriptor-rate updates for
+            # bf16 instead of XLA's byte-rate scatter. Pairs where both
+            # rows updated emit identical duplicate words (benign).
+            pair_ids, words = bitpack.merge_updated_rows(
+                pair_words, u_slots, new_rows
+            )
+            new_table = scatter_rows_unique(table, pair_ids, words)
+            new_slots = dict(
+                zip(
+                    row_keys,
+                    scatter_rows_unique_multi(
+                        [slots[k] for k in row_keys],
+                        u_slots,
+                        [new_slot_rows[k] for k in row_keys],
+                    ),
+                )
+                if row_keys
+                else ()
+            )
+        else:
+            # Unique-row scatter: ONE Pallas kernel with interleaved DMA
+            # streams for the table and every optimizer slot (the
+            # scatters are descriptor-rate bound; running them in one
+            # kernel overlaps the streams, ~15% over back-to-back
+            # single-stream kernels). In place via buffer aliasing; XLA
+            # fallback off-TPU.
+            outs = scatter_rows_unique_multi(
+                [table] + [slots[k] for k in row_keys],
+                u_slots,
+                [new_rows] + [new_slot_rows[k] for k in row_keys],
+            )
+            new_table = outs[0]
+            new_slots = dict(zip(row_keys, outs[1:]))
         for k in rw_keys:
             new_slots[k] = slots[k].at[u_slots].set(
                 new_slot_rows[k], indices_are_sorted=True

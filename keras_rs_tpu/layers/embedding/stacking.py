@@ -86,6 +86,15 @@ class TableStack:
     #: byte-bound block gather — the single biggest step-time lever
     #: (ops/row_ops.py scatter_row_blocks).
     packed_state: bool = False
+    #: Bit-packed state layout for bf16 stacks: the table lives as ONE
+    #: uint32 [global_rows/2, dim] array, word [p, i] packing element i
+    #: of logical rows (2p, 2p+1) — so gathers run at the f32 descriptor
+    #: rate and updates ride the hardware-proven 4-byte Pallas row
+    #: kernel instead of XLA's 7 GB/s bf16 scatter (ops/bitpack.py).
+    #: rows_per_shard is kept EVEN with the sink row given a dead pair
+    #: partner, so pairing is shard-local and sink-duplicate writes stay
+    #: benign.
+    bitpacked_state: bool = False
 
     @property
     def state_stride(self) -> int:
@@ -267,12 +276,25 @@ def build_stacks(
             and stack_dim % 128 == 0
             and (1 + n_slots) * stack_dim <= 512
         )
+        # Bit-packed uint32 layout for bf16 stacks whose row width fits
+        # the proven 4-byte Pallas DMA envelope (ops/bitpack.py).
+        bitpacked = (
+            group[0].dtype == "bfloat16"
+            and stack_dim % 128 == 0
+            and stack_dim <= 128
+        )
+        rows_per_shard = offset + 1  # + sink row
+        if bitpacked:
+            # Even row count, and the sink row's pair partner is a dead
+            # padding row no update ever targets — required for the
+            # benign-duplicate merge contract (bitpack.merge_updated_rows).
+            rows_per_shard = _round_up(offset, 2) + 2
         stacks.append(
             TableStack(
                 name=stack_name,
                 num_shards=num_shards,
                 stack_dim=stack_dim,
-                rows_per_shard=offset + 1,  # + sink row
+                rows_per_shard=rows_per_shard,
                 tables=tuple(specs),
                 features=tuple(feature_specs),
                 optimizer=optimizer,
@@ -285,6 +307,7 @@ def build_stacks(
                 ),
                 dtype=group[0].dtype,
                 packed_state=packed,
+                bitpacked_state=bitpacked,
             )
         )
     return stacks
@@ -329,8 +352,14 @@ def init_stack_table(
                 1, 0, 2
             )
         )
-    sink = jnp.zeros((D, 1, stack.stack_dim), dtype)
-    stacked = jnp.concatenate(parts + [sink], axis=1)
+    # Trailing zero rows: dead padding (bitpacked parity pad + the
+    # sink's dead pair partner) and the sink itself — everything past
+    # the tables' local offsets.
+    n_tail = stack.rows_per_shard - sum(
+        t.padded_vocab // D for t in stack.tables
+    )
+    tail = jnp.zeros((D, n_tail, stack.stack_dim), dtype)
+    stacked = jnp.concatenate(parts + [tail], axis=1)
     return stacked.reshape(stack.global_rows, stack.stack_dim)
 
 
@@ -351,6 +380,12 @@ def gather_table(
         # Packed 3-D state [global_rows, stride, dim]: table rows are
         # the leading row of each group.
         arr = arr[:, 0, :]
+    elif stack.bitpacked_state:
+        # Bit-packed bf16 state: f32-typed words [global_rows/2, dim]
+        # (ops/bitpack.py).
+        from keras_rs_tpu.ops import bitpack
+
+        arr = np.asarray(bitpack.unpack_rows(jnp.asarray(arr)))
     r = np.arange(t.vocabulary_size)
     global_idx = (r % D) * stack.rows_per_shard + t.local_offset + r // D
     return arr[global_idx, : t.embedding_dim]
@@ -376,6 +411,12 @@ def scatter_table(
     out = np.array(stacked)
     if out.ndim == 3:  # packed: write the table row of each group
         out[global_idx, 0, : t.embedding_dim] = values
+    elif stack.bitpacked_state:  # bit-packed bf16: unpack-write-repack
+        from keras_rs_tpu.ops import bitpack
+
+        flat = np.array(bitpack.unpack_rows(jnp.asarray(out)))
+        flat[global_idx, : t.embedding_dim] = values
+        out = np.asarray(bitpack.pack_rows(jnp.asarray(flat)))
     else:
         out[global_idx, : t.embedding_dim] = values
     return out

@@ -103,3 +103,129 @@ def test_bf16_training_accumulates_small_updates():
     # round-to-nearest could never do.
     moved = np.abs(table[0] - 1.0).max()
     assert moved > 0.0, "stochastic rounding never moved the row"
+
+
+# --- bit-packed uint32 layout (dim-128 bf16 stacks, ops/bitpack.py) ------
+
+
+def make_bf16_128_layer(optimizer="adagrad"):
+    t = TableConfig(
+        "t", 200, 128, optimizer=optimizer, combiner="sum",
+        placement="sharded", dtype="bfloat16",
+        max_ids_per_partition=32, max_unique_ids_per_partition=32,
+    )
+    fc = FeatureConfig("f", t, (B, 2), (B, 128))
+    return DistributedEmbedding([fc], key=jax.random.key(0))
+
+
+def test_bitpacked_layout_engaged_and_roundtrips():
+    """dim-128 bf16 stacks store ONE uint32 [R/2, dim] array; the sink
+    row gets a dead pair partner; logical table export round-trips."""
+    layer = make_bf16_128_layer()
+    stack = layer.stacks[0]
+    assert stack.bitpacked_state and not stack.packed_state
+    assert stack.rows_per_shard % 2 == 0
+    st = layer.state.value[stack.name]
+    # Packed words are f32-TYPED (pure bitcast; autodiff/checkpoint
+    # compatibility — ops/bitpack.py).
+    assert st["table"].dtype == jnp.float32
+    assert st["table"].shape == (stack.global_rows // 2, 128)
+    # Slots stay f32 at the LOGICAL row count.
+    assert st["slots"]["accumulator"].shape == (
+        stack.global_rows, 128
+    )
+
+    rng = np.random.default_rng(0)
+    vals = rng.normal(size=(200, 128)).astype(np.float32)
+    # bf16 storage: set/get round-trips through the bf16 cast.
+    layer.set_embedding_tables({"t": vals})
+    got = layer.get_embedding_tables()["t"]
+    np.testing.assert_array_equal(
+        got.astype(jnp.bfloat16), vals.astype(jnp.bfloat16)
+    )
+
+    # Forward activations come from the packed words.
+    inputs = {"f": rng.integers(0, 200, size=(B, 2))}
+    pre = layer.preprocess(inputs)
+    acts = jax.jit(lambda l, p: l(p))(layer, pre)
+    want = (
+        vals.astype(jnp.bfloat16).astype(np.float32)[
+            np.asarray(inputs["f"])
+        ].sum(axis=1)
+    )
+    np.testing.assert_allclose(
+        np.asarray(acts[0]), want, rtol=1e-6, atol=1e-6
+    )
+
+
+def test_bitpacked_matches_split_layout_bit_exactly():
+    """Training through the bit-packed layout equals the plain-bf16
+    split layout BIT FOR BIT: the stochastic-rounding key depends only
+    on (step, shard), so identical f32 updates round identically."""
+    import dataclasses
+
+    from keras_rs_tpu.layers.embedding.lookup import (
+        init_stack_state,
+        stack_lookup,
+    )
+    from keras_rs_tpu.layers.embedding.preprocessing import (
+        preprocess_stack,
+    )
+    from keras_rs_tpu.layers.embedding.stacking import build_stacks
+    from keras_rs_tpu.ops import bitpack
+
+    D = 8
+    t = TableConfig(
+        "t", 200, 128, optimizer="adagrad", combiner="sum",
+        dtype="bfloat16",
+        max_ids_per_partition=32, max_unique_ids_per_partition=32,
+    )
+    fcs = [FeatureConfig("f", t, (B, 2), (B, 128))]
+    mesh = mesh_lib.create_mesh()
+    stack = build_stacks(fcs, D, stacking="auto")[0]
+    assert stack.bitpacked_state
+    # Same geometry (rows_per_shard, sink), only the layout flag differs.
+    stack_split = dataclasses.replace(stack, bitpacked_state=False)
+
+    rng = np.random.default_rng(3)
+    table_f32 = rng.normal(size=(stack.global_rows, 128)).astype(
+        np.float32
+    )
+    tbl = jax.device_put(
+        jnp.asarray(table_f32, jnp.bfloat16),
+        mesh_lib.table_sharding(mesh),
+    )
+    state_bp = init_stack_state(stack, tbl)
+    state_sp = init_stack_state(stack_split, tbl)
+    assert state_bp["table"].shape == (stack.global_rows // 2, 128)
+    assert state_sp["table"].dtype == jnp.bfloat16
+
+    inputs = {"f": rng.integers(0, 200, size=(B, 2))}
+    coo, _ = preprocess_stack(stack, inputs)
+    sharding = mesh_lib.batch_sharding(mesh)
+    coo_dev = {
+        k: jax.device_put(v, sharding) for k, v in coo.arrays().items()
+    }
+
+    def train2(stk, state):
+        def loss(st):
+            acts = stack_lookup(stk, mesh, "data", st, coo_dev)
+            return jnp.sum(acts.astype(jnp.float32) ** 2) * 1e-3
+
+        for _ in range(2):
+            g = jax.jit(jax.grad(loss))(dict(state))
+            state = g  # Overwrite contract: cotangent IS the new state
+        return state
+
+    out_bp = train2(stack, state_bp)
+    out_sp = train2(stack_split, state_sp)
+    got = np.asarray(
+        bitpack.unpack_rows(out_bp["table"])
+    ).view(np.uint16)
+    want = np.asarray(out_sp["table"]).view(np.uint16)
+    np.testing.assert_array_equal(got, want)
+    np.testing.assert_array_equal(
+        np.asarray(out_bp["slots"]["accumulator"]),
+        np.asarray(out_sp["slots"]["accumulator"]),
+    )
+    np.testing.assert_allclose(float(out_bp["step"]), 2.0)
