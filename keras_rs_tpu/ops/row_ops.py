@@ -105,9 +105,10 @@ def pallas_supported(dim: int, dtype=jnp.float32) -> bool:
     Sub-4-byte dtypes are EXCLUDED: bf16 VMEM is (16, 128)-tiled with
     two rows packed per sublane, and Mosaic cannot slice a single bf16
     row out of a tiled memref for the DMA (verified on hardware: the
-    kernel fails to compile with a memref_slice error). bf16 tables
-    therefore update through XLA's scatter — slower, but bf16's value
-    is HBM capacity, not update speed (BASELINE.md).
+    kernel fails to compile with a memref_slice error). dim-128 bf16
+    tables instead live as f32-TYPED pair-packed words (ops/bitpack.py)
+    and ride this kernel at full rate; other bf16 shapes fall back to
+    XLA's scatter.
     """
     return (
         jax.default_backend() == "tpu"
@@ -429,105 +430,6 @@ def scatter_row_blocks_unique(
     if use_pallas:
         return scatter_row_blocks(packed, idx, blocks, interpret=interpret)
     return packed.at[idx].set(blocks, unique_indices=True)
-
-
-# --- pair-RMW: single-row updates as [2, dim] pair-block writes ---------
-#
-# bf16 HBM/VMEM uses (16, 128) tiling with TWO logical rows interleaved
-# per 32-bit sublane, so a single bf16 row is a 16-bit-strided pattern no
-# DMA descriptor expresses (hardware-proven, see pallas_supported). A
-# [2, dim] block covering rows (2r, 2r+1) is exactly one sublane-pair's
-# packed contents — aligned and contiguous — so a bf16 table stored as
-# [R/2, 2, dim] can take row updates through the block kernel: merge each
-# updated row with its pair neighbor (gathered at byte speed), then
-# scatter whole pairs. Duplicate pair writes (both rows of a pair
-# updated, or the sink-row padding) carry identical bytes, so the
-# write race is benign — the same contract the row kernel relies on.
-
-
-def merge_pair_blocks(
-    paired: jax.Array,  # [R/2, 2, dim] table in paired layout
-    idx: jax.Array,  # [N] int32 SORTED unique logical row ids
-    rows: jax.Array,  # [N, dim] new row values
-) -> tuple[jax.Array, jax.Array]:
-    """Returns (pair_ids [N], blocks [N, 2, dim]) for a pair-block
-    scatter equivalent to `flat_table[idx] = rows`.
-
-    Entries sharing a pair produce IDENTICAL merged blocks (benign
-    duplicate writes); a row whose neighbor is not updated keeps the
-    neighbor's current value, read from `paired` before the scatter
-    (the data dependency orders the gather first inside jit)."""
-    idx = idx.astype(jnp.int32)
-    pair = idx >> 1  # [N]
-    pos = idx & 1  # 0 = low row of the pair, 1 = high
-    nb = jnp.take(paired, pair, axis=0)  # [N, 2, dim] current pairs
-
-    # Sorted unique ids => a pair's two entries are ADJACENT with pos
-    # (0, 1); look one step back/forward for the partner's row.
-    prev_same = jnp.concatenate(
-        [jnp.zeros((1,), bool), pair[1:] == pair[:-1]]
-    )
-    next_same = jnp.concatenate(
-        [pair[1:] == pair[:-1], jnp.zeros((1,), bool)]
-    )
-    rows_prev = jnp.roll(rows, 1, axis=0)
-    rows_next = jnp.roll(rows, -1, axis=0)
-
-    low = jnp.where(
-        (pos == 0)[:, None],
-        rows,
-        jnp.where(prev_same[:, None], rows_prev, nb[:, 0]),
-    )
-    high = jnp.where(
-        (pos == 1)[:, None],
-        rows,
-        jnp.where(next_same[:, None], rows_next, nb[:, 1]),
-    )
-    return pair, jnp.stack([low, high], axis=1)
-
-
-def scatter_rows_paired(
-    paired: jax.Array,  # [R/2, 2, dim] (donated on TPU)
-    idx: jax.Array,  # [N] SORTED unique logical row ids
-    rows: jax.Array,  # [N, dim]
-    *,
-    use_pallas: bool | None = None,
-    interpret: bool = False,
-) -> jax.Array:
-    """Single-row updates into a paired-layout table via pair-RMW.
-
-    Requires the bf16 pair-block DMA to be hardware-supported (gate:
-    `PAIRED_BF16_OK`, set from tools/probe_bf16_block.py results).
-    Falls back to an XLA scatter through the flat view otherwise."""
-    rows = rows.astype(paired.dtype)
-    if use_pallas is None:
-        use_pallas = paired_supported(paired.shape[2], paired.dtype)
-    if not use_pallas:
-        R2, _, dim = paired.shape
-        flat = paired.reshape(R2 * 2, dim)
-        return flat.at[idx].set(rows, unique_indices=True).reshape(
-            R2, 2, dim
-        )
-    pair, blocks = merge_pair_blocks(paired, idx, rows)
-    return scatter_row_blocks(paired, pair, blocks, interpret=interpret)
-
-
-#: Hardware gate for the bf16 [2, dim] pair-block DMA. Set to the probe
-#: result from tools/probe_bf16_block.py on the live chip; False keeps
-#: bf16 tables on the XLA fallback (the round-2 status quo).
-PAIRED_BF16_OK = False
-
-
-def paired_supported(dim: int, dtype=jnp.bfloat16) -> bool:
-    """Pair-RMW path gate: 2-byte dtype, lane-aligned dim, probe-proven."""
-    return (
-        PAIRED_BF16_OK
-        and jax.default_backend() == "tpu"
-        and dim % _LANE == 0
-        and dim <= MAX_PALLAS_DIM
-        and jnp.dtype(dtype).itemsize == 2
-        and 2 * dim <= MAX_BLOCK_WIDTH
-    )
 
 
 def scatter_rows_unique_multi(

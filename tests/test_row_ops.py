@@ -242,69 +242,3 @@ def test_pallas_gating_decisions(monkeypatch):
     assert not row_ops.pallas_supported(64)  # sub-lane row
     assert not row_ops.pallas_supported(128, jnp.bfloat16)  # packed rows
     assert not row_ops.pallas_supported(128, jnp.int8)
-
-
-# --- pair-RMW (bf16 paired layout) ---------------------------------------
-
-
-def _mk_paired(R, N, dim, seed=0, dtype=np.float32):
-    rng = np.random.default_rng(seed)
-    paired = rng.standard_normal((R // 2, 2, dim)).astype(dtype)
-    idx = np.sort(rng.choice(R, size=N, replace=False)).astype(np.int32)
-    rows = rng.standard_normal((N, dim)).astype(dtype)
-    return jnp.asarray(paired), jnp.asarray(idx), jnp.asarray(rows)
-
-
-@pytest.mark.parametrize("dtype", [np.float32, jnp.bfloat16])
-@pytest.mark.parametrize("N", [1, 7, 64])
-def test_merge_pair_blocks_oracle(dtype, N):
-    """Scattering the merged pair blocks == flat row scatter, including
-    pairs where BOTH rows update (adjacent sorted entries) and pairs
-    where only one does (neighbor preserved)."""
-    from keras_rs_tpu.ops.row_ops import merge_pair_blocks
-
-    R, dim = 128, 8
-    paired, idx, rows = _mk_paired(R, N, dim, seed=N, dtype=dtype)
-    pair, blocks = merge_pair_blocks(paired, idx, rows)
-
-    want = (
-        paired.reshape(R, dim).at[idx].set(rows).reshape(R // 2, 2, dim)
-    )
-    # Duplicate pair ids carry identical blocks => .at[].set is a valid
-    # oracle for the benign-race kernel semantics.
-    got = paired.at[pair].set(blocks)
-    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
-    # Both-rows-updated pairs: block rows must BOTH come from `rows`.
-    both = np.asarray(pair[1:]) == np.asarray(pair[:-1])
-    if both.any():
-        i = int(np.argmax(both))
-        np.testing.assert_array_equal(
-            np.asarray(blocks[i]),
-            np.stack([np.asarray(rows[i]), np.asarray(rows[i + 1])]),
-        )
-
-
-@pytest.mark.parametrize("N", [5, BLOCK_ROWS + 3])
-def test_scatter_rows_paired_interpret(N):
-    """Pair-RMW through the real block kernel (interpret mode) matches
-    the flat XLA scatter bit-exactly for bf16."""
-    from keras_rs_tpu.ops.row_ops import scatter_rows_paired
-
-    R, dim = 4096, 128
-    paired, idx, rows = _mk_paired(R, N, dim, seed=3, dtype=jnp.bfloat16)
-    want = (
-        paired.reshape(R, dim).at[idx].set(rows).reshape(R // 2, 2, dim)
-    )
-    want = np.asarray(want)
-    # The kernel path DONATES the table; hand each call its own copy.
-    got = scatter_rows_paired(
-        jnp.array(paired), idx, rows, use_pallas=True, interpret=True
-    )
-    np.testing.assert_array_equal(
-        np.asarray(got).view(np.uint16), want.view(np.uint16)
-    )
-    # Gated-off fallback path (PAIRED_BF16_OK defaults False off-probe).
-    got_xla = scatter_rows_paired(jnp.array(paired), idx, rows)
-    np.testing.assert_array_equal(
-        np.asarray(got_xla).view(np.uint16), want.view(np.uint16)
-    )
