@@ -136,11 +136,58 @@ def stage_timing() -> None:
           f"(bitpacked is {ms_s / ms_p:.2f}x)")
 
 
+def stage_gather_shape_probe() -> None:
+    """Is an axis-0 gather on a [R, 1, dim] 3-D array faster than the
+    same gather on [R, dim]? The round-2 profile measured 3-D block
+    gathers at HBM byte speed (0.076 ms for 40960 x [2,128]) vs 0.24 ms
+    descriptor-bound 2-D row gathers — if the 3-D lowering wins at
+    stride 1 too, the bitpacked (and plain) tables should store a dummy
+    middle axis purely for gather speed."""
+    R, dim, n = 3_000_000, 128, 40960
+    rng = np.random.default_rng(2)
+    ids = jnp.asarray(
+        np.sort(rng.choice(R, size=n, replace=False)).astype(np.int32)
+    )
+
+    def timed_gather(arr, label):
+        @jax.jit
+        def run(arr, ids):
+            def body(carry, _):
+                rows = jnp.take(arr, ids + carry, axis=0)
+                c2 = (
+                    rows.reshape(-1)[0].astype(jnp.float32) > 1e38
+                ).astype(jnp.int32)
+                return c2, c2
+
+            last, _ = jax.lax.scan(
+                body, jnp.zeros((), jnp.int32), None, length=30
+            )
+            return last
+
+        _ = float(run(arr, ids))
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _ = float(run(arr, ids))
+            ts.append(max(time.perf_counter() - t0 - HOST_RT, 1e-9))
+        ms = float(np.median(ts)) / 30 * 1e3
+        print(f"[3] gather {label}: {ms:.3f} ms for {n} rows")
+        return ms
+
+    flat = jnp.zeros((R, dim), jnp.float32)
+    timed_gather(flat, "[R, 128] 2-D")
+    del flat
+    three = jnp.zeros((R, 1, dim), jnp.float32)
+    timed_gather(three, "[R, 1, 128] 3-D")
+    del three
+
+
 def main() -> None:
     print(f"backend: {jax.default_backend()}")
     stage_correctness()
     if jax.default_backend() == "tpu":
         stage_timing()
+        stage_gather_shape_probe()
 
 
 if __name__ == "__main__":
