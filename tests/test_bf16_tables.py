@@ -229,3 +229,72 @@ def test_bitpacked_matches_split_layout_bit_exactly():
         np.asarray(out_sp["slots"]["accumulator"]),
     )
     np.testing.assert_allclose(float(out_bp["step"]), 2.0)
+
+
+def test_bitpacked_adam_full_slots_bit_exact_vs_split():
+    """Two full [R, dim] f32 slots (Adam) next to the bitpacked word
+    table: the slot multi-scatter and the word scatter use DIFFERENT
+    index lists (rows vs pairs); results must still equal the split
+    layout bit for bit."""
+    import dataclasses
+
+    from keras_rs_tpu.layers.embedding.lookup import (
+        init_stack_state,
+        stack_lookup,
+    )
+    from keras_rs_tpu.layers.embedding.preprocessing import (
+        preprocess_stack,
+    )
+    from keras_rs_tpu.layers.embedding.stacking import build_stacks
+    from keras_rs_tpu.ops import bitpack
+
+    D = 8
+    t = TableConfig(
+        "t", 120, 128, optimizer="adam", combiner="sum",
+        dtype="bfloat16",
+        max_ids_per_partition=32, max_unique_ids_per_partition=32,
+    )
+    fcs = [FeatureConfig("f", t, (B, 2), (B, 128))]
+    mesh = mesh_lib.create_mesh()
+    stack = build_stacks(fcs, D, stacking="auto")[0]
+    assert stack.bitpacked_state
+    stack_split = dataclasses.replace(stack, bitpacked_state=False)
+
+    rng = np.random.default_rng(7)
+    tbl = jax.device_put(
+        jnp.asarray(
+            rng.normal(size=(stack.global_rows, 128)), jnp.bfloat16
+        ),
+        mesh_lib.table_sharding(mesh),
+    )
+    state_bp = init_stack_state(stack, tbl)
+    state_sp = init_stack_state(stack_split, tbl)
+    assert set(state_bp["slots"]) == {"momentum", "velocity"}
+
+    inputs = {"f": rng.integers(0, 120, size=(B, 2))}
+    coo, _ = preprocess_stack(stack, inputs)
+    sharding = mesh_lib.batch_sharding(mesh)
+    coo_dev = {
+        k: jax.device_put(v, sharding) for k, v in coo.arrays().items()
+    }
+
+    def train2(stk, state):
+        def loss(st):
+            acts = stack_lookup(stk, mesh, "data", st, coo_dev)
+            return jnp.sum(acts.astype(jnp.float32) ** 2) * 1e-3
+
+        for _ in range(2):
+            state = jax.jit(jax.grad(loss))(dict(state))
+        return state
+
+    out_bp = train2(stack, state_bp)
+    out_sp = train2(stack_split, state_sp)
+    np.testing.assert_array_equal(
+        np.asarray(bitpack.unpack_rows(out_bp["table"])).view(np.uint16),
+        np.asarray(out_sp["table"]).view(np.uint16),
+    )
+    for k in ("momentum", "velocity"):
+        np.testing.assert_array_equal(
+            np.asarray(out_bp["slots"][k]),
+            np.asarray(out_sp["slots"][k]),
+        )
