@@ -253,6 +253,8 @@ class CriteoDataset:
         Returns None if widths don't match the declared schema (caller
         falls back to the per-proto Python path).
         """
+        from keras_rs_tpu.data import native_io
+
         fbs = self.file_batch_size
         kind, lab = cols[self.label_key]
         if kind != 2 or lab.shape[1] != fbs:
@@ -275,7 +277,7 @@ class CriteoDataset:
             if kind != 0 or c.shape[1] != fbs * m * 8:
                 return None
             out[f"cat_{i}"] = (
-                np.ascontiguousarray(c)
+                native_io.fast_contig(c)
                 .view("<i8")
                 .reshape(-1, m)
                 .astype(np.int64, copy=False)
@@ -369,18 +371,37 @@ class CriteoDataset:
                         self._parse_file_arrays(p, keys, use_native)
                         for p in files
                     )
-                # Carry of column arrays across file boundaries.
+                # Carry of column arrays across file boundaries. Only
+                # the BOUNDARY batch is assembled by concatenation —
+                # concatenating the pending tail with the whole next
+                # file would copy every column of every file once more
+                # (measured as a large share of e2e loader time).
                 pending: dict[str, np.ndarray] | None = None
                 for file_arrays in sources:
                     if file_arrays is None:
                         continue
-                    if pending is not None:
-                        file_arrays = {
-                            k: np.concatenate([pending[k], v])
-                            for k, v in file_arrays.items()
-                        }
-                    n_rows = len(file_arrays["label"])
                     lo = 0
+                    n_rows = len(file_arrays["label"])
+                    if pending is not None:
+                        need = B - len(pending["label"])
+                        if n_rows < need:
+                            pending = {
+                                k: np.concatenate(
+                                    [pending[k], file_arrays[k]]
+                                )
+                                for k in file_arrays
+                            }
+                            continue
+                        yield self._host_shard(
+                            {
+                                k: np.concatenate(
+                                    [pending[k], file_arrays[k][:need]]
+                                )
+                                for k in file_arrays
+                            }
+                        )
+                        lo = need
+                        pending = None
                     while n_rows - lo >= B:
                         yield self._host_shard(
                             {
@@ -407,7 +428,9 @@ class CriteoDataset:
         def reinterpret(key: str, dtype: str) -> np.ndarray:
             kind, arr = cols[key]
             if kind == 0:  # decode_raw bytes
-                return np.ascontiguousarray(arr).view(dtype)
+                from keras_rs_tpu.data import native_io
+
+                return native_io.fast_contig(arr).view(dtype)
             return arr
 
         dense = reinterpret(self.dense_key, "<f4")[:, :NUM_DENSE]

@@ -122,6 +122,42 @@ def available() -> bool:
 _est_lock = threading.Lock()
 _est_cache: dict[tuple, tuple[float, float]] = {}
 
+# Thread-local grow-only buffer pool: a fresh multi-hundred-MB np.empty
+# per file costs a page-fault storm that dominates the (GIL-released,
+# 2.6 GB/s) parse itself. The returned column views die inside the SAME
+# worker call that produced them (callers copy during column->batch
+# conversion before the thread parses its next file), so per-thread
+# reuse is safe under the prefetch pool.
+_tls = threading.local()
+
+
+def fast_contig(col: np.ndarray) -> np.ndarray:
+    """Contiguous copy of a row-strided 2-D view, avoiding the
+    `np.ascontiguousarray` slow path.
+
+    On this container, ascontiguousarray on a [n, w] column view of a
+    wide matrix intermittently runs at 0.02-0.1 GB/s (measured; large
+    fresh allocations + THP compaction stalls), while an np.empty +
+    per-row assignment sustains 3-7 GB/s. With n = protos-per-file the
+    Python loop is a handful of memcpys.
+    """
+    if col.ndim != 2:
+        return np.ascontiguousarray(col)
+    out = np.empty(col.shape, col.dtype)
+    for i in range(col.shape[0]):
+        out[i] = col[i]
+    return out
+
+
+def _pooled(tag: str, size: int, dtype) -> np.ndarray:
+    pool = getattr(_tls, "pool", None)
+    if pool is None:
+        pool = _tls.pool = {}
+    arr = pool.get(tag)
+    if arr is None or arr.shape[0] < size:
+        arr = pool[tag] = np.empty(int(size * 1.1) + 16, dtype)
+    return arr[:size]
+
 
 def _parse_raw(path: str, keys: list[str]):
     """Parses one file natively; returns (n, buf, offsets, kinds)."""
@@ -155,9 +191,11 @@ def _parse_raw(path: str, keys: list[str]):
         n_cap = int(est[1] * fsize * 1.15) + 16
 
     for _ in range(2):
-        buf = np.empty(max(cap, 1), np.uint8)
-        offsets = np.empty(n_cap * nk + 1, np.int64)
-        kinds = np.empty(max(n_cap * nk, 1), np.int64)
+        buf = _pooled(f"buf:{cache_key}", max(cap, 1), np.uint8)
+        offsets = _pooled(f"off:{cache_key}", n_cap * nk + 1, np.int64)
+        kinds = _pooled(
+            f"kind:{cache_key}", max(n_cap * nk, 1), np.int64
+        )
         rc = lib.tfrec_parse_file2(
             path.encode(), nk, key_arr, len_arr,
             buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
@@ -221,10 +259,16 @@ def parse_file_batched(
         w = int(widths[k])
         kind = int(kinds2[0, k])
         col = mat[:, col_off : col_off + w]
+        if nk == 1:
+            # Single-key schema: the column IS the pooled matrix; the
+            # downstream ascontiguousarray no-ops on contiguous input,
+            # so copy here — pooled memory must never escape the worker
+            # call that parsed it (see _pooled).
+            col = col.copy()
         if kind == 1:
-            col = np.ascontiguousarray(col).view("<f4")
+            col = fast_contig(col).view("<f4")
         elif kind == 2:
-            col = np.ascontiguousarray(col).view("<i8")
+            col = fast_contig(col).view("<i8")
         out[key] = (kind, col)
         col_off += w
     return n, out
