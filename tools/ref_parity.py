@@ -267,11 +267,89 @@ def ours_retrieval() -> float:
     return ex.main()
 
 
+def ref_sequential() -> float:
+    """Reference GRU4Rec architecture (sequential_retrieval.py:285-372:
+    Embedding -> GRU query tower, Embedding candidate tower, in-batch
+    CategoricalCrossentropy, BruteForceRetrieval eval) on OUR synthetic
+    markov sessions, same split/protocol as examples/sequential_retrieval.
+    """
+    from examples.sequential_retrieval import BRANCHING, NOISE, NUM_ITEMS
+    from keras_rs_tpu.data import synthetic
+
+    seq = synthetic.markov_sessions(
+        num_items=NUM_ITEMS, num_sessions=10_240, length=10,
+        branching=BRANCHING, noise=NOISE, seed=0,
+    )
+    hist, target = seq[:, :-1], seq[:, -1]
+    n_train, dim, batch = 8192, 64, 256
+
+    keras.utils.set_random_seed(0)
+
+    class SeqModel(keras.Model):
+        def __init__(self):
+            super().__init__()
+            self.query_model = keras.Sequential(
+                [
+                    keras.layers.Embedding(NUM_ITEMS + 1, dim),
+                    keras.layers.GRU(dim),
+                ]
+            )
+            self.candidate = keras.layers.Embedding(NUM_ITEMS + 1, dim)
+            self.loss_fn = keras.losses.CategoricalCrossentropy(
+                from_logits=True
+            )
+
+        def call(self, inputs):
+            return self.query_model(inputs)
+
+        def compute_loss(
+            self, x=None, y=None, y_pred=None, sample_weight=None,
+            training=True,
+        ):
+            cand = self.candidate(y)
+            scores = keras.ops.matmul(
+                y_pred, keras.ops.transpose(cand)
+            )
+            labels = keras.ops.eye(keras.ops.shape(scores)[0])
+            return self.loss_fn(labels, scores, sample_weight)
+
+    model = SeqModel()
+    # Pre-build BOTH towers: the candidate embedding is only touched in
+    # compute_loss, and keras builds the optimizer against the variables
+    # that exist at the first step.
+    model(keras.ops.convert_to_tensor(hist[:1]))
+    model.candidate(keras.ops.convert_to_tensor(target[:1]))
+    model.compile(optimizer=keras.optimizers.Adam(0.01))
+    model.fit(
+        hist[:n_train], target[:n_train], batch_size=batch, epochs=15,
+        verbose=0, shuffle=True,
+    )
+    retrieval = keras_rs.layers.BruteForceRetrieval(
+        candidate_embeddings=keras.ops.convert_to_tensor(
+            np.asarray(model.candidate.embeddings)
+        ),
+        k=10,
+        return_scores=False,
+    )
+    q = model.query_model(keras.ops.convert_to_tensor(hist[n_train:]))
+    top = np.asarray(retrieval(q))
+    held = target[n_train:]
+    return float(
+        np.mean([held[i] in top[i] for i in range(len(top))])
+    )
+
+
+def ours_sequential() -> float:
+    import examples.sequential_retrieval as ex
+
+    return ex.main()
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--runs", type=int, default=5)
     p.add_argument(
-        "--tasks", default="dcn,ranking,listwise,retrieval"
+        "--tasks", default="dcn,ranking,listwise,retrieval,sequential"
     )
     args = p.parse_args()
     tasks = set(args.tasks.split(","))
@@ -311,12 +389,26 @@ def main() -> None:
         results["retrieval_recall_at_10"] = {"ref": ref, "ours": ours}
         print(f"retrieval recall@10: ref {ref:.3f}  ours {ours:.3f}")
 
+    if "sequential" in tasks:
+        ref = ref_sequential()
+        ours = ours_sequential()
+        results["sequential_recall_at_10"] = {"ref": ref, "ours": ours}
+        print(f"sequential (GRU4Rec) recall@10: ref {ref:.3f}  "
+              f"ours {ours:.3f}")
+
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "ref_parity_results.json",
     )
+    # Merge: a partial --tasks run must not clobber other tasks' pairs.
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            merged = json.load(f)
+    else:
+        merged = {}
+    merged.update(results)
     with open(out_path, "w") as f:
-        json.dump(results, f, indent=2)
+        json.dump(merged, f, indent=2)
     print(f"wrote {out_path}")
 
 
