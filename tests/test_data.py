@@ -280,3 +280,54 @@ def test_native_reader_single_pass_ratio_cache(tmp_path):
     n2, cols2 = native_io.parse_file_batched(paths[1], ["x", "y"])
     assert n2 == 40
     np.testing.assert_array_equal(cols1["x"][1], cols2["x"][1])
+
+
+def test_criteo_batch_spans_multiple_files(tmp_path):
+    """A global batch larger than a whole file assembles across 3+ file
+    boundaries (the boundary-batch path concatenates ONLY the boundary
+    batch) and the stream equals a big-file reference stream."""
+    from keras_rs_tpu.data.criteo import write_batched_criteo_files
+
+    vocab, mh = [100, 40], [2, 1]
+    # 6 files x 1 proto x 24 records = 144 records; batch 64 spans 3
+    # files; 144 // 64 = 2 batches, 16-record tail dropped.
+    write_batched_criteo_files(
+        str(tmp_path),
+        num_files=6,
+        protos_per_file=1,
+        file_batch_size=24,
+        vocab_sizes=vocab,
+        multi_hot_sizes=mh,
+        seed=7,
+    )
+    ds = CriteoDataset(
+        str(tmp_path / "*.tfrecord"),
+        global_batch_size=64,
+        vocab_sizes=vocab,
+        multi_hot_sizes=mh,
+        file_batch_size=24,
+    )
+    got = list(ds.batches())
+    assert len(got) == 2
+    for b in got:
+        assert b["label"].shape == (64,)
+        assert b["cat_0"].shape == (64, 2)
+
+    # Reference stream: same files consumed with batch 24 == file size
+    # (no boundary assembly), re-chunked to 64 on the host.
+    ds24 = CriteoDataset(
+        str(tmp_path / "*.tfrecord"),
+        global_batch_size=24,
+        vocab_sizes=vocab,
+        multi_hot_sizes=mh,
+        file_batch_size=24,
+    )
+    ref = list(ds24.batches())
+    cat = {
+        k: np.concatenate([b[k] for b in ref]) for k in ref[0]
+    }
+    for i, b in enumerate(got):
+        for k in b:
+            np.testing.assert_array_equal(
+                b[k], cat[k][i * 64 : (i + 1) * 64], err_msg=k
+            )
