@@ -271,6 +271,8 @@ def main(config_name: str = "smoke_test", **overrides) -> dict:
         if ckpt and (step + 1) % cfg.checkpoint_every == 0:
             ckpt.save(step + 1, state)
         if cfg.eval_every and (step + 1) % cfg.eval_every == 0:
+            # Keep eval wall time out of the training throughput clock.
+            t_eval = time.time()
             acc_pt, auc_pt, _, _ = run_eval(state.model)
             auc_curve.append(
                 {"step": step + 1, "auc": auc_pt, "accuracy": acc_pt}
@@ -279,6 +281,7 @@ def main(config_name: str = "smoke_test", **overrides) -> dict:
                 "eval @ step %d: auc %.4f acc %.4f",
                 step + 1, auc_pt, acc_pt,
             )
+            t_warm += time.time() - t_eval
         if (step + 1) % 100 == 0:
             logger.info(
                 "step %d loss %.5f (%.1f ex/s post-warmup)",
