@@ -19,6 +19,14 @@
 # --profile or set profile_dir/checkpoint_dir in the config):
 #   KRT_PROFILE_DIR=/tmp/trace   capture a jax.profiler trace there
 #   KRT_CHECKPOINT_DIR=...       Orbax checkpoint/resume directory
+#
+# Measurement flags:
+#   --honest_timing   re-measure the train step after training under the
+#                     scan-chained protocol (tunnel-proof device ms/step,
+#                     reported as device_step_ms / device_examples_per_sec)
+#   --eval_every N    evaluate every N steps; results carry an auc_curve
+#                     (convergence-to-plateau evidence; eval wall time is
+#                     excluded from the throughput clock)
 set -euo pipefail
 
 CONFIG="${1:-smoke_test}"
