@@ -63,7 +63,8 @@ def preprocess_stack_device(
     U = stack.max_unique_ids_per_shard
     B = stack.batch_size
     Bl = B // D
-    S_l = stack.num_features * Bl
+    F = stack.num_features
+    S_l = F * Bl
     sink = stack.sink_slot
 
     # --- flatten all features into one static entry list -------------------
@@ -105,14 +106,15 @@ def preprocess_stack_device(
         ds.append(b // Bl)
         ss.append(r_safe % D)
         slots.append(tspec.local_offset + r_safe // D)
-        segs.append(fspec.feature_index * Bl + (b % Bl))
+        # Sample-major segment ids (host-path parity): activations
+        # reshape straight to [B, F, dim], no transpose downstream.
+        segs.append((b % Bl) * F + fspec.feature_index)
         gains.append(g)
         valids.append(valid)
 
-        lo = fspec.feature_index * Bl
-        combiner_code = combiner_code.at[lo : lo + Bl].set(
-            _COMBINER_CODE[tspec.combiner]
-        )
+        combiner_code = combiner_code.at[
+            fspec.feature_index :: F
+        ].set(_COMBINER_CODE[tspec.combiner])
 
     d = jnp.concatenate(ds)
     s = jnp.concatenate(ss)
@@ -253,10 +255,13 @@ def preprocess_stack_device(
         .set(key_s.reshape(-1), mode="drop")
         .reshape(D, U)
     )
-    inv = jnp.minimum(uidx, U - 1)
+    # Unique-overflow entries map to the drop sentinel U (one past the
+    # valid range; the backward segment-sum discards out-of-range ids),
+    # and padding entries keep the U default fill — host-path parity.
+    inv = jnp.where(uidx < U - 1, uidx, U)
     e_write = jnp.where(real_s, row * (D * C) + pos_s, D * D * C)
     entry_unique = (
-        jnp.full((D * D * C,), U - 1, jnp.int32)
+        jnp.full((D * D * C,), U, jnp.int32)
         .at[e_write.reshape(-1)]
         .set(inv.reshape(-1), mode="drop")
         .reshape(D, D * C)

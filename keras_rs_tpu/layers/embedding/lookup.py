@@ -113,7 +113,8 @@ def stack_lookup(
 ) -> jax.Array:
     """Differentiable lookup for one stack.
 
-    Returns activations [D * S_l, dim] (device-major segment layout),
+    Returns activations [D * S_l, dim] = [B, F, dim] flattened
+    (segments are sample-major: device, local sample, feature),
     sample-sharded over `axis`. Gradient side effect: the cotangent of
     `state` is the post-update state (Overwrite contract).
     """
@@ -203,19 +204,16 @@ def stack_lookup(
         ge = jnp.take(
             g_all.reshape(D * S_l, dim), recv_segs.reshape(-1), axis=0
         ) * recv_gains.reshape(-1, 1)
+        # Padding and unique-capacity-overflow entries carry the drop
+        # sentinel U (one past the valid range): segment_sum discards
+        # out-of-range ids natively, so no [U, dim] sink-mask multiply
+        # is needed here (it used to cost an elementwise pass per step).
+        # Sink-slot rows (dedup padding at the top of unique_slots) thus
+        # receive exactly-zero gradients and their duplicate writes all
+        # emit identical bytes.
         row_grads = jax.ops.segment_sum(
             ge, e_unique, num_segments=U
         )  # [U, dim]
-        # Unique index U-1 is the reserved sink (dedup maps padding AND
-        # unique-capacity overflow there): drop its gradient so the sink
-        # row never updates — otherwise overflow steps would race
-        # non-identical bytes in the unique-row scatter and the sink's
-        # optimizer slots would grow without bound. (Mask multiply: XLA
-        # scatters are ~200us even for one row, see BASELINE.md.)
-        not_sink = (
-            jnp.arange(U, dtype=jnp.int32) != U - 1
-        ).astype(row_grads.dtype)
-        row_grads = row_grads * not_sink[:, None]
 
         # unique_slots is ascending by construction (sorted dedup + sink
         # padding at the top index): sorted gathers run at HBM speed on
@@ -272,9 +270,9 @@ def stack_lookup(
         )
         # Row-wise (1-D, one scalar/row) slots update through XLA's 1-D
         # scatter — U*4 bytes, negligible next to the row DMAs. u_slots
-        # repeats the sink id for padding entries, but those carry a
-        # masked (zero) gradient so every duplicate writes the same
-        # bytes.
+        # repeats the sink id for padding entries, but those carry an
+        # exactly-zero gradient (dropped by the sentinel) so every
+        # duplicate writes the same bytes.
         rw_keys = [k for k in slots if slots[k].ndim == 1]
         row_keys = [k for k in slots if slots[k].ndim > 1]
         if is_bf16:
@@ -393,16 +391,21 @@ def stack_lookup(
 def split_activations(
     stack: TableStack, acts: jax.Array
 ) -> dict[str, jax.Array]:
-    """Device-major segment activations -> per-feature [B, dim_f] arrays."""
-    D = stack.num_shards
+    """Lookup activations -> per-feature [B, dim_f] arrays.
+
+    Segment ids are SAMPLE-major ((local_sample * F + feature_index),
+    produced identically by all three preprocessing backends), so the
+    [D * S_l, dim] activation block is already ordered
+    (device, local_sample, feature) = (global_sample, feature): this is
+    a pure reshape + per-feature static slice — no transpose between the
+    embedding path and the dense stack (the feature-major layout used to
+    cost a materialized [B, F, dim] permutation in the downstream
+    concat; VERDICT r2 #1).
+    """
     F = stack.num_features
-    Bl = stack.batch_size // D
-    a = acts.reshape(D, F, Bl, stack.stack_dim)
-    a = a.transpose(1, 0, 2, 3).reshape(
-        F, stack.batch_size, stack.stack_dim
-    )
+    a = acts.reshape(stack.batch_size, F, stack.stack_dim)
     return {
-        f.name: a[f.feature_index, :, : f.embedding_dim]
+        f.name: a[:, f.feature_index, : f.embedding_dim]
         for f in stack.features
     }
 
@@ -411,9 +414,6 @@ def combine_cotangents(
     stack: TableStack, d_feats: Mapping[str, jax.Array]
 ) -> jax.Array:
     """Inverse of split_activations for hand-written backward paths."""
-    D = stack.num_shards
-    F = stack.num_features
-    Bl = stack.batch_size // D
     parts = []
     for f in stack.features:
         g = d_feats[f.name]
@@ -422,7 +422,9 @@ def combine_cotangents(
                 g, ((0, 0), (0, stack.stack_dim - f.embedding_dim))
             )
         parts.append(g)
-    a = jnp.stack(parts, axis=0).reshape(F, D, Bl, stack.stack_dim)
-    return a.transpose(1, 0, 2, 3).reshape(D * F * Bl, stack.stack_dim)
+    a = jnp.stack(parts, axis=1)  # [B, F, dim]
+    return a.reshape(
+        stack.batch_size * stack.num_features, stack.stack_dim
+    )
 
 

@@ -153,7 +153,7 @@ def preprocess_stack_native(
     send_segs = np.zeros((D, D, C), np.int32)
     send_gains = np.zeros((D, D, C), np.float32)
     unique_slots = np.full((D, U), sink, np.int32)
-    entry_unique = np.full((D, D * C), U - 1, np.int32)
+    entry_unique = np.full((D, D * C), U, np.int32)  # U = drop sentinel
     divisors = np.ones((D, S_l), np.float32)
     stats = np.zeros(3, np.int64)
 

@@ -15,12 +15,21 @@ Layout produced for a stack with D shards, bucket capacity C, unique
 capacity U, F features and local batch Bl (S_l = F * Bl local segments):
 
   send_slots  [D, D, C] i32   entry local row slot, bucketed (src, dst)
-  send_segs   [D, D, C] i32   entry local segment id (feature-major)
+  send_segs   [D, D, C] i32   entry local segment id (SAMPLE-major:
+                              seg = local_sample * F + feature_index, so
+                              the lookup's activations reshape straight
+                              to [B, F, dim] with no transpose between
+                              the embedding path and the dense stack)
   send_gains  [D, D, C] f32   entry weight PRE-DIVIDED by its segment's
                               combiner divisor (0 marks padding) — the
                               lookup does no division on device
   unique_slots[D, U]    i32   per-shard deduped slots (padded with sink)
-  entry_unique[D, D*C]  i32   received-entry -> unique-slot index
+  entry_unique[D, D*C]  i32   received-entry -> unique-slot index; U
+                              (one past the last unique slot) for
+                              padding and unique-capacity overflow —
+                              out-of-range ids are DROPPED by the
+                              backward's segment-sum, so no sink-row
+                              gradient mask is needed on device
   divisors    [D, S_l]  f32   per-segment combiner divisor (stats /
                               debugging; already folded into the gains)
 """
@@ -157,7 +166,7 @@ def preprocess_stack(
         b, r, g = b[keep], r[keep], g[keep]
 
         d = b // Bl
-        seg = fspec.feature_index * Bl + (b % Bl)
+        seg = (b % Bl) * F + fspec.feature_index
         all_d.append(d)
         all_s.append(r % D)
         all_slot.append(tspec.local_offset + r // D)
@@ -174,8 +183,8 @@ def preprocess_stack(
         else:  # sum
             seg_w = np.ones((D, Bl), np.float32)
         seg_w[seg_w == 0] = 1.0
-        lo = fspec.feature_index * Bl
-        divisors[:, lo : lo + Bl] = seg_w
+        # Sample-major layout: feature fi's segments sit at fi, fi+F, ...
+        divisors[:, fspec.feature_index :: F] = seg_w
 
     d = np.concatenate(all_d) if all_d else np.zeros(0, np.int64)
     s = np.concatenate(all_s) if all_s else np.zeros(0, np.int64)
@@ -229,7 +238,10 @@ def preprocess_stack(
     # Received layout on shard e: concat over src d of bucket (d, e),
     # flattened to D*C entries.
     unique_slots = np.full((D, U), sink, np.int32)
-    entry_unique = np.full((D, D * C), U - 1, np.int32)
+    # Sentinel U = "drop this entry's update" (padding / unique
+    # overflow): one past the valid range, so the backward segment-sum
+    # discards it natively — no [U, dim] mask multiply on device.
+    entry_unique = np.full((D, D * C), U, np.int32)
     max_unique = 0
     for e in range(D):
         recv_slots = send_slots[:, e, :].reshape(-1)  # [D*C]
@@ -239,9 +251,9 @@ def preprocess_stack(
         max_unique = max(max_unique, len(uniq))
         n = min(len(uniq), U - 1)  # last unique slot is the sink
         unique_slots[e, :n] = uniq[:n]
-        # Entries whose unique row overflowed U point at the sink slot and
-        # their updates are dropped (counted in stats).
-        inv = np.where(inv < n, inv, U - 1)
+        # Entries whose unique row overflowed capacity map to the drop
+        # sentinel U (counted in stats).
+        inv = np.where(inv < n, inv, U)
         entry_unique[e, np.nonzero(real)[0]] = inv
 
     unique_overflow = max(0, max_unique - (U - 1))

@@ -39,8 +39,8 @@ int coo_preprocess(
     int64_t U,     // per-shard unique capacity (incl. sink slot)
     int64_t sink,  // sink slot id
     // Outputs (pre-allocated and pre-filled by the caller: send_slots and
-    // unique_slots with `sink`, entry_unique with U-1, send_segs/gains with
-    // zeros, divisors with ones).
+    // unique_slots with `sink`, entry_unique with U (the drop sentinel),
+    // send_segs/gains with zeros, divisors with ones).
     int32_t* send_slots,    // [D, D, C]
     int32_t* send_segs,     // [D, D, C]
     float* send_gains,      // [D, D, C]
@@ -57,17 +57,23 @@ int coo_preprocess(
   int64_t dropped = 0;
 
   // --- bucket fill (encounter order == numpy lexsort(seg, s, d) order) ---
-  for (int64_t f = 0; f < num_features; ++f) {
-    const int64_t L = valences[f];
-    const int64_t vocab = vocab_sizes[f];
-    const int64_t offset = local_offsets[f];
-    const int32_t combiner = combiners[f];
-    const int64_t* fid = ids[f];
-    const float* fw = weights[f];
-
-    for (int64_t b = 0; b < B; ++b) {
-      const int64_t d = b / Bl;
-      const int64_t seg = f * Bl + (b % Bl);
+  // Segment ids are SAMPLE-major: seg = (b % Bl) * F + f, so the lookup's
+  // activations reshape straight to [B, F, dim]. Within a bucket the numpy
+  // reference's lexsort therefore orders entries by (sample, feature,
+  // original l) — the loop nest below encounters them in exactly that
+  // order (sample outer, feature inner).
+  const int64_t F = num_features;
+  for (int64_t b = 0; b < B; ++b) {
+    const int64_t d = b / Bl;
+    const int64_t base_seg = (b % Bl) * F;
+    for (int64_t f = 0; f < F; ++f) {
+      const int64_t L = valences[f];
+      const int64_t vocab = vocab_sizes[f];
+      const int64_t offset = local_offsets[f];
+      const int32_t combiner = combiners[f];
+      const int64_t* fid = ids[f];
+      const float* fw = weights[f];
+      const int64_t seg = base_seg + f;
       float seg_accum = 0.0f;
       for (int64_t l = 0; l < L; ++l) {
         const int64_t r = fid[b * L + l];
@@ -133,8 +139,10 @@ int coo_preprocess(
         const int32_t slot = send_slots[base + c];
         const int64_t pos =
             std::lower_bound(uniq.begin(), uniq.end(), slot) - uniq.begin();
+        // Unique-capacity overflow maps to the drop sentinel U (one
+        // past the valid range; the backward segment-sum drops it).
         entry_unique[e * D * C + d * C + c] =
-            static_cast<int32_t>(pos < n_keep ? pos : U - 1);
+            static_cast<int32_t>(pos < n_keep ? pos : U);
       }
     }
   }

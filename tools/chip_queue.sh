@@ -22,6 +22,10 @@ grep -q 262144 "$OUT/probe.log" || { echo "CHIP STILL WEDGED"; exit 1; }
 # 1. main bench (f32 + flagship valence)
 run bench_f32 3000 python bench.py
 
+# 1b. itemized embedding-path profile (names every fusion >= 30 us so
+#     the above-floor overhead is attributed, VERDICT r2 #1)
+run profile_emb 1800 python tools/profile_embedding.py --steps 10 --min-us 30
+
 # 2. bf16 bitpacked bench
 run bench_bf16 2400 env BENCH_TABLE_DTYPE=bfloat16 BENCH_FLAGSHIP=0 python bench.py
 

@@ -22,11 +22,17 @@ Run on the live chip; paste the printed table into BASELINE.md.
 
 from __future__ import annotations
 
+import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 HOST_RT = 0.033  # measured tunnel round-trip (BASELINE.md)
 
