@@ -10,7 +10,10 @@ from keras_rs_tpu.layers.embedding.config import FeatureConfig, TableConfig
 from keras_rs_tpu.layers.embedding.distributed_embedding import (
     DistributedEmbedding,
 )
-from keras_rs_tpu.layers.embedding.embed_reduce import EmbedReduce
+from keras_rs_tpu.layers.embedding.embed_reduce import (
+    EmbedReduce,
+    QuantizedEmbedReduce,
+)
 from keras_rs_tpu.layers.feature_interaction.dot_interaction import (
     DotInteraction,
 )
@@ -37,6 +40,7 @@ __all__ = [
     "DistributedEmbedding",
     "DotInteraction",
     "EmbedReduce",
+    "QuantizedEmbedReduce",
     "Embedding",
     "FeatureConfig",
     "FeatureCross",

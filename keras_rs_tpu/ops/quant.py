@@ -30,6 +30,30 @@ def stochastic_round_bf16(x: Tensor, key: jax.Array) -> Tensor:
     return jax.lax.bitcast_convert_type(hi, jnp.bfloat16)
 
 
+def quantize_rows_int8(table: Tensor) -> tuple[Tensor, Tensor]:
+    """Symmetric per-row int8 quantization for inference tables.
+
+    Returns `(q, scale)` with `q` int8 [R, dim] and `scale` f32 [R, 1]
+    such that `q * scale ~= table` (max abs error <= scale/2 per
+    element, i.e. absmax/254 per row). Zero rows get scale 1 so the
+    dequantized row is exactly zero. 4x less serving HBM than f32 (2x
+    vs bf16); row gathers are descriptor-bound on TPU, so the smaller
+    rows cost no extra latency (BASELINE.md key-op table). Same scheme
+    as the int8 asymmetric-hashing store in
+    layers/retrieval/kmeans_retrieval.py.
+    """
+    x = jnp.asarray(table, jnp.float32)
+    absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def dequantize_rows(q: Tensor, scale: Tensor) -> Tensor:
+    """Inverse of `quantize_rows_int8` (up to rounding)."""
+    return q.astype(jnp.float32) * scale
+
+
 def cast_rows_for_storage(
     x: Tensor, dtype: jnp.dtype, key: jax.Array | None
 ) -> Tensor:

@@ -1,0 +1,167 @@
+"""Int8 per-row-quantized serving tables (ops/quant.py,
+QuantizedEmbedReduce, freeze(quantize="int8")).
+
+Beyond the reference's surface (it has no quantized serving path);
+the quantization scheme matches the int8 asymmetric-hashing store in
+layers/retrieval/kmeans_retrieval.py. The error contract under test:
+per element |dequant - x| <= row_absmax / 254.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from keras_rs_tpu import serving
+from keras_rs_tpu.layers.embedding.config import FeatureConfig, TableConfig
+from keras_rs_tpu.layers.embedding.distributed_embedding import (
+    DistributedEmbedding,
+)
+from keras_rs_tpu.layers.embedding.embed_reduce import (
+    EmbedReduce,
+    QuantizedEmbedReduce,
+)
+from keras_rs_tpu.ops.quant import dequantize_rows, quantize_rows_int8
+
+
+def test_quantize_rows_error_bound():
+    rng = np.random.default_rng(0)
+    # Mixed row magnitudes (embedding tables are heavy-tailed) + a zero
+    # row and a single-element spike row.
+    x = rng.normal(size=(64, 32)).astype(np.float32)
+    x *= rng.lognormal(sigma=2.0, size=(64, 1)).astype(np.float32)
+    x[7] = 0.0
+    x[9] = 0.0
+    x[9, 3] = 1e-6
+    q, scale = quantize_rows_int8(x)
+    assert q.dtype == jnp.int8 and scale.shape == (64, 1)
+    deq = np.asarray(dequantize_rows(q, scale), np.float64)
+    absmax = np.abs(x).max(axis=1, keepdims=True).astype(np.float64)
+    err = np.abs(deq - x.astype(np.float64))
+    # <= (not <): exact half-ulp inputs tie the bound under
+    # round-half-even; tiny relative slack for the f32 scale rounding.
+    bound = absmax / 254 * (1 + 1e-5) + 1e-12
+    assert (err <= bound).all(), (err / np.maximum(bound, 1e-30)).max()
+    # Zero rows reconstruct exactly.
+    np.testing.assert_array_equal(deq[7], 0.0)
+
+
+def test_quantized_embed_reduce_matches_f32():
+    rng = np.random.default_rng(1)
+    table = rng.normal(size=(100, 16)).astype(np.float32)
+    ids2d = rng.integers(0, 100, size=(8, 5))
+    w2d = rng.random((8, 5)).astype(np.float32)
+    ids1d = rng.integers(0, 100, size=(8,))
+    for combiner in ("mean", "sum", "sqrtn"):
+        er = EmbedReduce(100, 16, table=table, combiner=combiner)
+        qer = er.quantize_int8()
+        assert isinstance(qer, QuantizedEmbedReduce)
+        for args in [(ids2d, w2d), (ids2d, None), (ids1d, None)]:
+            want = np.asarray(er(*args))
+            got = np.asarray(qer(*args))
+            # Row error <= absmax/254 ~ 0.4% of the scale of each row.
+            np.testing.assert_allclose(got, want, atol=np.abs(
+                table
+            ).max() / 100, rtol=0.02)
+
+
+def test_quantized_reducer_jit_and_memory():
+    table = np.random.default_rng(2).normal(size=(256, 32)).astype(
+        np.float32
+    )
+    qer = QuantizedEmbedReduce.from_table(table, combiner="mean")
+    # 4x smaller row payload (+ one f32 scale per row).
+    assert qer.q.nbytes == table.nbytes // 4
+    assert qer.scale.nbytes == 256 * 4
+    ids = jnp.asarray([[1, 2, 3], [4, 5, 6]], jnp.int32)
+    out = jax.jit(lambda m, i: m(i))(qer, ids)
+    assert out.shape == (2, 32) and bool(jnp.isfinite(out).all())
+
+
+def test_freeze_int8_matches_f32_freeze():
+    B = 16
+    t = TableConfig(
+        "t", 128, 16, optimizer="adagrad", combiner="mean",
+        placement="sharded", max_ids_per_partition=64,
+        max_unique_ids_per_partition=64,
+    )
+    t2 = TableConfig(
+        "t2", 64, 8, optimizer="adagrad", combiner="sum",
+        placement="sharded", max_ids_per_partition=64,
+        max_unique_ids_per_partition=64,
+    )
+    fcs = {
+        "f": FeatureConfig("f", t, (B, 3), (B, 16)),
+        # Shared table: g and h must reference the SAME (q, scale).
+        "g": FeatureConfig("g", t2, (B, 2), (B, 8)),
+        "h": FeatureConfig("h", t2, (B, 2), (B, 8)),
+    }
+    layer = DistributedEmbedding(fcs, key=jax.random.key(0))
+    rng = np.random.default_rng(0)
+    inputs = {
+        "f": rng.integers(0, 128, size=(B, 3)),
+        "g": rng.integers(0, 64, size=(B, 2)),
+        "h": rng.integers(0, 64, size=(B, 2)),
+    }
+
+    frozen = layer.freeze()
+    quantized = layer.freeze(quantize="int8")
+    want = frozen(inputs)
+    got = quantized(inputs)
+    for k in inputs:
+        w = np.asarray(want[k])
+        g = np.asarray(got[k])
+        np.testing.assert_allclose(g, w, atol=np.abs(w).max() * 0.02 + 1e-4)
+    # Shared-table features hold the same quantized buffers.
+    qg = quantized._reducers["g"]
+    qh = quantized._reducers["h"]
+    assert qg.q is qh.q and qg.scale is qh.scale
+    # Export view still yields logical [vocab, dim] f32 tables.
+    tables = quantized.tables
+    assert tables["t"].shape == (128, 16)
+    assert tables["t2"].shape == (64, 8)
+
+
+def test_freeze_int8_export_roundtrip_and_size():
+    B = 8
+    t = TableConfig(
+        "t", 512, 32, optimizer="sgd", combiner="mean",
+        placement="sharded", max_ids_per_partition=64,
+        max_unique_ids_per_partition=64,
+    )
+    fc = FeatureConfig("f", t, (B, 4), (B, 32))
+    layer = DistributedEmbedding([fc], key=jax.random.key(3))
+    frozen = layer.freeze()
+    quantized = layer.freeze(quantize="int8")
+
+    ids = jnp.asarray(
+        np.random.default_rng(4).integers(0, 512, size=(B, 4))
+    )
+    blob_f32 = serving.export_fn(lambda i: frozen({"f": i})[0], ids)
+    blob_int8 = serving.export_fn(lambda i: quantized({"f": i})[0], ids)
+    # Tables are baked into the artifact: the int8 one ships ~4x less
+    # table payload (shared overhead keeps the ratio below exactly 4).
+    assert len(blob_int8) < 0.45 * len(blob_f32), (
+        len(blob_int8), len(blob_f32),
+    )
+    served = serving.import_fn(blob_int8)
+    np.testing.assert_allclose(
+        np.asarray(served(ids)),
+        np.asarray(quantized({"f": ids})[0]),
+        rtol=1e-6,
+    )
+
+
+def test_freeze_rejects_unknown_quantize():
+    t = TableConfig(
+        "t", 128, 8, optimizer="sgd", combiner="mean",
+        placement="sharded", max_ids_per_partition=16,
+        max_unique_ids_per_partition=16,
+    )
+    fc = FeatureConfig("f", t, (8, 2), (8, 8))
+    layer = DistributedEmbedding([fc], key=jax.random.key(0))
+    try:
+        layer.freeze(quantize="int4")
+    except ValueError as e:
+        assert "int8" in str(e)
+    else:
+        raise AssertionError("expected ValueError")

@@ -118,9 +118,24 @@ def bench_dlrm_inference(small=False):
         ms = honest_ms(
             forward, (model, frozen, batch), perturb, derive, iters=30
         )
+        f32_bytes = sum(
+            x.nbytes for x in jax.tree_util.tree_leaves(frozen)
+        )
         print(f"[dlrm-infer] B={B}: {ms:.3f} ms/batch "
-              f"({B / ms * 1e3:,.0f} ex/s)")
-        del model, frozen
+              f"({B / ms * 1e3:,.0f} ex/s, tables {f32_bytes/1e6:.0f} MB)")
+
+        # Int8 per-row-quantized frozen tables: 4x less serving HBM;
+        # gathers are descriptor-bound so latency should hold.
+        frozen_q = model.embedding_layer.freeze(quantize="int8")
+        ms_q = honest_ms(
+            forward, (model, frozen_q, batch), perturb, derive, iters=30
+        )
+        q_bytes = sum(
+            x.nbytes for x in jax.tree_util.tree_leaves(frozen_q)
+        )
+        print(f"[dlrm-infer-int8] B={B}: {ms_q:.3f} ms/batch "
+              f"({B / ms_q * 1e3:,.0f} ex/s, tables {q_bytes/1e6:.0f} MB)")
+        del model, frozen, frozen_q
 
 
 def bench_retrieval_service(small=False):
