@@ -35,6 +35,7 @@ def run_trace(steps: int, batch: int, out_dir: str, profile: str) -> None:
     from keras_rs_tpu.parallel import mesh as mesh_lib
 
     mesh = mesh_lib.create_mesh()
+    vocab = int(os.environ.get("BENCH_VOCAB", 4_000_000))
     if profile == "mlperf":
         from examples.ml_perf.configs import (
             CRITEO_MULTI_HOT_SIZES,
@@ -43,13 +44,13 @@ def run_trace(steps: int, batch: int, out_dir: str, profile: str) -> None:
 
         cap = int(os.environ.get("BENCH_VOCAB_CAP", 1_000_000))
         state, step, pre, _, _ = bench.build(
-            "sharded", mesh, batch, 4_000_000, 128,
+            "sharded", mesh, batch, vocab, 128,
             vocab_sizes=[min(v, cap) for v in CRITEO_VOCAB_SIZES],
             multi_hot_sizes=CRITEO_MULTI_HOT_SIZES,
         )
     else:
         state, step, pre, _, _ = bench.build(
-            "sharded", mesh, batch, 4_000_000, 128
+            "sharded", mesh, batch, vocab, 128
         )
     run = bench.make_scan_runner(step, steps)
     state, loss = run(state, pre)  # compile + warm
@@ -82,6 +83,10 @@ def parse_trace(out_dir: str, steps: int, min_us: float) -> list:
         and e.get("name") == "process_name"
         and "TPU" in str(e.get("args", {}).get("name", ""))
     }
+    if not tpu_pids:
+        # Off-TPU (CPU smoke): fall back to every pid that carries
+        # complete ("X") events so the parser stays testable.
+        tpu_pids = {e["pid"] for e in ev if e.get("ph") == "X"}
     per_op: dict[str, list] = defaultdict(lambda: [0.0, 0])
     total = 0.0
     for e in ev:
