@@ -806,6 +806,80 @@ class DistributedEmbedding(Module):
         """
         return FrozenEmbedding(self, quantize=quantize)
 
+    def serving_copy(self) -> "DistributedEmbedding":
+        """MESH-SHARDED inference twin without optimizer slots.
+
+        `freeze()` collects every table onto one device — right for
+        host-scale serving, impossible when the tables only exist
+        sharded. This builds a new DistributedEmbedding over the SAME
+        mesh and stack grouping but with the slot-free SGD optimizer,
+        and transplants each stack's table shard-locally (the packed
+        [R, stride, dim] state is sliced to its table plane; split and
+        bit-packed tables transfer as-is) — no host gather, no
+        unsharded intermediate. Serving HBM drops to the table bytes
+        alone (1/2-1/3 of the Adagrad/Adam training state). The copy
+        serves through the normal preprocess + __call__ path; training
+        it would train plain SGD from the copied tables.
+        """
+        import dataclasses
+
+        new_tables: dict[str, TableConfig] = {}
+
+        def conv(t: TableConfig) -> TableConfig:
+            if t.name not in new_tables:
+                new_tables[t.name] = dataclasses.replace(
+                    t, optimizer="sgd"
+                )
+            return new_tables[t.name]
+
+        leaves = [
+            dataclasses.replace(fc, table=conv(fc.table))
+            for fc in self._feature_leaves
+        ]
+        configs = jax.tree_util.tree_unflatten(
+            self._feature_treedef, leaves
+        )
+        # Pin the old stack grouping: "auto" groups by optimizer+dim and
+        # the optimizer swap could merge groups, changing row layouts.
+        stacking = (
+            [[ts.name for ts in s.tables] for s in self.stacks]
+            if self.stacks
+            else "never"
+        )
+        new = DistributedEmbedding(
+            configs,
+            mesh=self.mesh,
+            axis_name=self.axis_name,
+            table_stacking=stacking,
+            dtype=self._dtype_str,
+            auto_grow=self.auto_grow,
+        )
+        states = {}
+        for old_stack, new_stack in zip(self.stacks, new.stacks):
+            if {t.name for t in old_stack.tables} != {
+                t.name for t in new_stack.tables
+            }:
+                raise AssertionError(
+                    "serving_copy stack grouping diverged: "
+                    f"{old_stack.name} vs {new_stack.name}"
+                )
+            old = self.state.value[old_stack.name]
+            table = (
+                old["table"][:, 0]
+                if old_stack.packed_state
+                else old["table"]
+            )
+            states[new_stack.name] = {
+                "table": table,
+                "slots": {},
+                "step": old["step"],
+            }
+        new.state = Overwrite(states)
+        # default_device tables: share the EmbedReduce modules (same
+        # arrays — no copy, no extra HBM).
+        new.dense_tables = dict(self.dense_tables)
+        return new
+
     # ------------------------------------------------------------------
     def get_config(self) -> dict[str, Any]:
         # Dedup shared tables by index (parity with
