@@ -163,6 +163,7 @@ def test_data_parallel_retrieval_example():
         ("examples.sas_rec", "recall"),
         ("examples.multi_task", ""),
         ("examples.deep_recommender", "recall@10"),
+        ("examples.serving_deployment", "walkthrough OK"),
     ],
 )
 def test_example_runs(module, expect):
