@@ -84,6 +84,11 @@ def build(
         embedding_optimizer=os.environ.get(
             "BENCH_EMB_OPTIMIZER", "adagrad"
         ),
+        # BENCH_DENSE_OUTPUT_DTYPE=bfloat16 keeps dense activations
+        # resident in bf16 between matmul fusions (A/B'd on chip by
+        # tools/probe_dense_mfu.py; params/accumulation stay f32).
+        dense_output_dtype=os.environ.get("BENCH_DENSE_OUTPUT_DTYPE")
+        or None,
     )
     model = DLRMDCNv2(cfg, key=jax.random.key(0), mesh=mesh)
     raw = synthetic.criteo_like_batch(

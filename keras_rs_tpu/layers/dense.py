@@ -35,6 +35,7 @@ class Dense(Module):
         bias_regularizer: Any = None,
         dtype: Any = jnp.float32,
         compute_dtype: Any = None,
+        output_dtype: Any = None,
         name: str | None = None,
     ) -> None:
         k_kernel, k_bias = jax.random.split(key)
@@ -64,6 +65,14 @@ class Dense(Module):
         self.compute_dtype = (
             None if compute_dtype is None else jnp.dtype(compute_dtype)
         )
+        # bf16-resident mode: keep the layer OUTPUT in `output_dtype`
+        # (typically bfloat16) instead of round-tripping activations
+        # through f32 between matmul fusions — halves the inter-layer
+        # activation bytes XLA materializes while accumulation stays
+        # f32 via preferred_element_type.
+        self.output_dtype = (
+            None if output_dtype is None else jnp.dtype(output_dtype)
+        )
         self.name = name or "dense"
 
     def __call__(self, x: Tensor) -> Tensor:
@@ -79,6 +88,8 @@ class Dense(Module):
             y = y + self.bias
         if self.activation is not None:
             y = self.activation(y)
+        if self.output_dtype is not None:
+            y = y.astype(self.output_dtype)
         return y
 
 
@@ -97,6 +108,7 @@ class MLP(Module):
         bias_regularizer: Any = None,
         dtype: Any = jnp.float32,
         compute_dtype: Any = None,
+        output_dtype: Any = None,
         name: str | None = None,
     ) -> None:
         keys = jax.random.split(key, len(units))
@@ -111,6 +123,12 @@ class MLP(Module):
                     bias_regularizer=bias_regularizer,
                     dtype=dtype,
                     compute_dtype=compute_dtype,
+                    # Hidden activations may live in bf16; the stack's
+                    # final output stays in param dtype (loss / concat
+                    # callers decide their own precision).
+                    output_dtype=(
+                        output_dtype if i < len(units) - 1 else None
+                    ),
                 )
             )
             prev = u

@@ -38,6 +38,7 @@ class FeatureCross(Module):
         bias_regularizer: Any = None,
         dtype: Any = jnp.float32,
         compute_dtype: Any = None,
+        output_dtype: Any = None,
         name: str | None = None,
     ) -> None:
         if diag_scale is not None and diag_scale < 0.0:
@@ -78,6 +79,12 @@ class FeatureCross(Module):
         self.compute_dtype = (
             None if compute_dtype is None else jnp.dtype(compute_dtype)
         )
+        # bf16-resident mode: cast the projected `out` to `output_dtype`
+        # before the x0*out+x combine so a bf16 residual stream stays
+        # bf16 (an f32 `out` would promote the whole combine to f32).
+        self.output_dtype = (
+            None if output_dtype is None else jnp.dtype(output_dtype)
+        )
         self.name = name or "feature_cross"
 
     def _matmul(self, x: Tensor, w: Tensor) -> Tensor:
@@ -107,6 +114,8 @@ class FeatureCross(Module):
             out = self.pre_activation(out)
         if self.diag_scale:
             out = out + self.diag_scale * x
+        if self.output_dtype is not None:
+            out = out.astype(self.output_dtype)
         return x0 * out + x
 
     def get_config(self) -> dict[str, Any]:

@@ -49,6 +49,7 @@ class DLRMConfig:
         table_dtype: str = "float32",
         compute_dtype: str | None = "bfloat16",
         embedding_optimizer: str = "adagrad",
+        dense_output_dtype: str | None = None,
     ):
         self.vocab_sizes = list(vocab_sizes)
         self.multi_hot_sizes = list(
@@ -74,6 +75,11 @@ class DLRMConfig:
         #: "rowwise_adagrad" (scalar-per-row accumulator — pairs with
         #: table_dtype="bfloat16" for the HBM-capacity mode).
         self.embedding_optimizer = embedding_optimizer
+        #: "bfloat16" keeps the dense stack's ACTIVATIONS resident in
+        #: bf16 between matmul fusions (params and accumulation stay
+        #: f32) — halves inter-fusion activation bytes. None = f32
+        #: activations (reference-parity numerics).
+        self.dense_output_dtype = dense_output_dtype
 
 
 class DLRMDCNv2(Module):
@@ -161,6 +167,7 @@ class DLRMDCNv2(Module):
         self.bottom_mlp = MLP(
             cfg.num_dense_features, cfg.bottom_mlp, key=k_bot, dtype=dtype,
             compute_dtype=cfg.compute_dtype,
+            output_dtype=cfg.dense_output_dtype,
         )
         num_feats = 1 + len(cfg.vocab_sizes)  # dense block + categoricals
         concat_dim = cfg.bottom_mlp[-1] + cfg.embedding_dim * len(
@@ -175,12 +182,14 @@ class DLRMDCNv2(Module):
                 projection_dim=cfg.dcn_projection_dim,
                 dtype=dtype,
                 compute_dtype=cfg.compute_dtype,
+                output_dtype=cfg.dense_output_dtype,
             )
             for kk in dcn_keys
         ]
         self.top_mlp = MLP(
             concat_dim, cfg.top_mlp, key=k_top, dtype=dtype,
             compute_dtype=cfg.compute_dtype,
+            output_dtype=cfg.dense_output_dtype,
         )
         self.config = cfg
 
@@ -238,6 +247,11 @@ class DLRMDCNv2(Module):
                 ids = batch[name]
                 parts.append(self.small_embeddings[name](ids))
         x0 = jnp.concatenate(parts, axis=-1)
+        if self.config.dense_output_dtype is not None:
+            # bf16-resident DCN/top-MLP stream: one cast at the concat
+            # (embedding activations arrive f32) instead of a f32
+            # round-trip per cross layer.
+            x0 = x0.astype(self.config.dense_output_dtype)
 
         x = x0
         for layer in self.dcn_layers:

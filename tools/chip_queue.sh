@@ -32,6 +32,13 @@ run bench_bf16 2400 env BENCH_TABLE_DTYPE=bfloat16 BENCH_FLAGSHIP=0 python bench
 # 3. bf16 + rowwise_adagrad capacity mode
 run bench_bf16_rowwise 2400 env BENCH_TABLE_DTYPE=bfloat16 BENCH_EMB_OPTIMIZER=rowwise_adagrad BENCH_FLAGSHIP=0 python bench.py
 
+# 3b. dense-stack precision A/B (VERDICT r2 #8): f32-resident vs
+#     bf16-resident activations vs full f32, bench + flagship widths.
+run probe_dense 1800 python tools/probe_dense_mfu.py
+# 3c. end-to-end bench with the bf16-resident dense stack (adopt as
+#     default if it beats bench_f32's step_ms outside noise).
+run bench_bf16_dense 2400 env BENCH_DENSE_OUTPUT_DTYPE=bfloat16 BENCH_FLAGSHIP=0 python bench.py
+
 # 4. bitpack kernel validation + A/B
 run validate_bitpack 1200 python tools/validate_bitpack.py
 
