@@ -140,8 +140,19 @@ def main():
     # --- 2. int8 quantized tables ------------------------------------------
     frozen_q = model.embedding.freeze(quantize="int8")
     got_q = np.asarray(serve_frozen(frozen_q, model.head, raw))
-    f32_b = sum(x.nbytes for x in jax.tree_util.tree_leaves(frozen))
-    q_b = sum(x.nbytes for x in jax.tree_util.tree_leaves(frozen_q))
+    # Unique buffers only: shared-table features alias the SAME
+    # jax.Array inside FrozenEmbedding, so naive tree_leaves would
+    # count the shared `items` table once per feature.
+    def unique_bytes(tree):
+        return sum(
+            x.nbytes
+            for x in {
+                id(x): x for x in jax.tree_util.tree_leaves(tree)
+            }.values()
+        )
+
+    f32_b = unique_bytes(frozen)
+    q_b = unique_bytes(frozen_q)
     print(
         f"int8 tables: {q_b / 1e3:.0f} kB vs f32 {f32_b / 1e3:.0f} kB "
         f"({f32_b / q_b:.1f}x smaller), "

@@ -13,11 +13,12 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 import threading
 from typing import Any
 
 import numpy as np
+
+from keras_rs_tpu.utils.native_build import load_shared_lib
 
 _DIR = os.path.dirname(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -30,51 +31,15 @@ _lib: ctypes.CDLL | None = None
 _tried = False
 
 
-def _build() -> bool:
-    if not os.path.exists(_SOURCE):
-        return False
-    try:
-        subprocess.run(
-            [
-                "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                "-o", _LIB_PATH, _SOURCE,
-            ],
-            check=True,
-            capture_output=True,
-            timeout=120,
-        )
-        return True
-    except (subprocess.SubprocessError, FileNotFoundError, OSError):
-        return False
-
-
-def _lib_is_stale() -> bool:
-    """True when the committed .so predates the source it was built from."""
-    try:
-        return os.path.getmtime(_SOURCE) > os.path.getmtime(_LIB_PATH)
-    except OSError:
-        return False
-
-
 def get_lib() -> ctypes.CDLL | None:
     global _lib, _tried
     with _lock:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if (not os.path.exists(_LIB_PATH) or _lib_is_stale()) and not _build():
-            if not os.path.exists(_LIB_PATH):
-                return None
-        try:
-            lib = ctypes.CDLL(_LIB_PATH)
-        except OSError:
-            # Stale/foreign-ABI binary: rebuild once from source.
-            if not _build():
-                return None
-            try:
-                lib = ctypes.CDLL(_LIB_PATH)
-            except OSError:
-                return None
+        lib = load_shared_lib(_SOURCE, _LIB_PATH)
+        if lib is None:
+            return None
         lib.tfrec_parse_file.restype = ctypes.c_long
         # Explicit argtypes: without them Python ints marshal as 32-bit
         # c_int, silently masking out_cap for >2 GB column buffers (the
@@ -159,8 +124,21 @@ def _pooled(tag: str, size: int, dtype) -> np.ndarray:
     return arr[:size]
 
 
-def _parse_raw(path: str, keys: list[str]):
-    """Parses one file natively; returns (n, buf, offsets, kinds)."""
+def _alloc(tag: str, size: int, dtype, pooled: bool) -> np.ndarray:
+    if pooled:
+        return _pooled(tag, size, dtype)
+    return np.empty(max(int(size), 1), dtype)[:size]
+
+
+def _parse_raw(path: str, keys: list[str], pooled: bool = True):
+    """Parses one file natively; returns (n, buf, offsets, kinds).
+
+    `pooled=True` writes into the thread-local grow-only buffer pool —
+    the fast path, but the returned arrays are only valid until the
+    SAME thread parses another file with the same key set.
+    `pooled=False` allocates private buffers (safe to hold
+    indefinitely, one page-fault-storm allocation per call).
+    """
     lib = get_lib()
     assert lib is not None, "native reader unavailable"
     nk = len(keys)
@@ -191,10 +169,12 @@ def _parse_raw(path: str, keys: list[str]):
         n_cap = int(est[1] * fsize * 1.15) + 16
 
     for _ in range(2):
-        buf = _pooled(f"buf:{cache_key}", max(cap, 1), np.uint8)
-        offsets = _pooled(f"off:{cache_key}", n_cap * nk + 1, np.int64)
-        kinds = _pooled(
-            f"kind:{cache_key}", max(n_cap * nk, 1), np.int64
+        buf = _alloc(f"buf:{cache_key}", max(cap, 1), np.uint8, pooled)
+        offsets = _alloc(
+            f"off:{cache_key}", n_cap * nk + 1, np.int64, pooled
+        )
+        kinds = _alloc(
+            f"kind:{cache_key}", max(n_cap * nk, 1), np.int64, pooled
         )
         rc = lib.tfrec_parse_file2(
             path.encode(), nk, key_arr, len_arr,
@@ -225,7 +205,7 @@ def _parse_raw(path: str, keys: list[str]):
 
 
 def parse_file_batched(
-    path: str, keys: list[str]
+    path: str, keys: list[str], copy_bytes: bool = False
 ) -> tuple[int, dict[str, tuple[int, np.ndarray]]] | None:
     """Whole-file COLUMN extraction for fixed-width schemas.
 
@@ -237,6 +217,13 @@ def parse_file_batched(
     (uint8 for BytesList, f32 for FloatList, i64 for Int64List), or
     None when widths vary / keys are missing (caller falls back to the
     per-row API).
+
+    LIFETIME: float/int columns are always private copies. BytesList
+    (kind 0) columns are, by default, VIEWS into a per-thread pooled
+    parse buffer — valid only until the calling thread parses another
+    file with the same key set (the Criteo loader converts them inside
+    the same worker call, which is why the hot path skips the copy).
+    Pass `copy_bytes=True` to receive private kind-0 arrays.
     """
     n, buf, offsets, kinds = _parse_raw(path, keys)
     nk = len(keys)
@@ -259,16 +246,12 @@ def parse_file_batched(
         w = int(widths[k])
         kind = int(kinds2[0, k])
         col = mat[:, col_off : col_off + w]
-        if nk == 1:
-            # Single-key schema: the column IS the pooled matrix; the
-            # downstream ascontiguousarray no-ops on contiguous input,
-            # so copy here — pooled memory must never escape the worker
-            # call that parsed it (see _pooled).
-            col = col.copy()
         if kind == 1:
             col = fast_contig(col).view("<f4")
         elif kind == 2:
             col = fast_contig(col).view("<i8")
+        elif copy_bytes:
+            col = fast_contig(col)
         out[key] = (kind, col)
         col_off += w
     return n, out
@@ -284,8 +267,12 @@ def parse_file_columns(
     CONCATENATED into one blob — fixed-width consumers reshape),
     FloatList -> np.float32 array, Int64List -> np.int64 array; missing
     keys are absent.
+
+    Parses into PRIVATE buffers (pooled=False): the returned views stay
+    valid indefinitely, matching this API's original contract — unlike
+    the pooled fast path `parse_file_batched` rides.
     """
-    n, buf, offsets, kinds = _parse_raw(path, keys)
+    n, buf, offsets, kinds = _parse_raw(path, keys, pooled=False)
     nk = len(keys)
 
     # Zero-copy views into `buf`: memoryview slices don't copy, and

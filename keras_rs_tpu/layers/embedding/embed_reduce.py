@@ -171,6 +171,14 @@ class EmbedReduce(Module):
             "name": self.name,
         }
 
+    @classmethod
+    def from_config(cls, config: dict[str, Any]) -> "EmbedReduce":
+        # Keras convention: the config round-trips the ARCHITECTURE;
+        # weights are restored separately (checkpoint pytree leaves).
+        config = dict(config)
+        config.setdefault("key", jax.random.key(0))
+        return cls(**config)
+
 
 @export("keras_rs_tpu.layers.QuantizedEmbedReduce")
 class QuantizedEmbedReduce(EmbedReduce):
@@ -257,3 +265,19 @@ class QuantizedEmbedReduce(EmbedReduce):
             "combiner": self.combiner,
             "name": self.name,
         }
+
+    @classmethod
+    def from_config(
+        cls, config: dict[str, Any]
+    ) -> "QuantizedEmbedReduce":
+        # Architecture-only round-trip (Keras convention): q/scale are
+        # placeholder-shaped here and restored from a checkpoint's
+        # pytree leaves, like any other weight.
+        config = dict(config)
+        vocab = config.pop("input_dim")
+        dim = config.pop("output_dim")
+        return cls(
+            jnp.zeros((vocab, dim), jnp.int8),
+            jnp.ones((vocab, 1), jnp.float32),
+            **config,
+        )

@@ -11,11 +11,12 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 import threading
 from typing import Mapping
 
 import numpy as np
+
+from keras_rs_tpu.utils.native_build import load_shared_lib
 
 from keras_rs_tpu.layers.embedding.preprocessing import (
     CooBatch,
@@ -39,24 +40,6 @@ _tried = False
 _COMBINER_CODES = {"sum": 0, "mean": 1, "sqrtn": 2}
 
 
-def _build() -> bool:
-    if not os.path.exists(_SOURCE):
-        return False
-    try:
-        subprocess.run(
-            [
-                "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                "-o", _LIB_PATH, _SOURCE,
-            ],
-            check=True,
-            capture_output=True,
-            timeout=120,
-        )
-        return True
-    except (subprocess.SubprocessError, FileNotFoundError, OSError):
-        return False
-
-
 def get_lib() -> ctypes.CDLL | None:
     """Loads (building if needed) the native library; None if unavailable."""
     global _lib, _tried
@@ -64,22 +47,9 @@ def get_lib() -> ctypes.CDLL | None:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        stale = os.path.exists(_LIB_PATH) and os.path.exists(
-            _SOURCE
-        ) and os.path.getmtime(_SOURCE) > os.path.getmtime(_LIB_PATH)
-        if (not os.path.exists(_LIB_PATH) or stale) and not _build():
-            if not os.path.exists(_LIB_PATH):
-                return None
-        try:
-            lib = ctypes.CDLL(_LIB_PATH)
-        except OSError:
-            # Foreign-ABI/corrupt binary: rebuild once from source.
-            if not _build():
-                return None
-            try:
-                lib = ctypes.CDLL(_LIB_PATH)
-            except OSError:
-                return None
+        lib = load_shared_lib(_SOURCE, _LIB_PATH)
+        if lib is None:
+            return None
         lib.coo_preprocess.restype = ctypes.c_int
         _lib = lib
         return _lib

@@ -331,3 +331,68 @@ def test_criteo_batch_spans_multiple_files(tmp_path):
             np.testing.assert_array_equal(
                 b[k], cat[k][i * 64 : (i + 1) * 64], err_msg=k
             )
+
+
+def test_parse_file_columns_survives_next_parse(tmp_path):
+    """parse_file_columns returns PRIVATE views: parsing a second file
+    with the same key set must not overwrite rows from the first
+    (regression: the pooled-buffer change briefly aliased them)."""
+    from keras_rs_tpu.data import native_io
+    from keras_rs_tpu.data.tfrecord import make_example, write_tfrecord
+
+    if not native_io.available():
+        return
+    paths = []
+    for f in range(2):
+        recs = [
+            make_example(
+                {
+                    "b": np.full(4, f, np.uint8).tobytes(),
+                    "x": np.full(3, f, np.int64),
+                    "y": np.full(2, float(f), np.float32),
+                }
+            )
+            for _ in range(8)
+        ]
+        p = str(tmp_path / f"cols{f}.tfrecord")
+        write_tfrecord(p, recs)
+        paths.append(p)
+    rows_a = native_io.parse_file_columns(paths[0], ["b", "x", "y"])
+    snap = (
+        bytes(rows_a[0]["b"][0]),
+        rows_a[0]["x"].copy(),
+        rows_a[0]["y"].copy(),
+    )
+    _ = native_io.parse_file_columns(paths[1], ["b", "x", "y"])
+    assert bytes(rows_a[0]["b"][0]) == snap[0]
+    np.testing.assert_array_equal(rows_a[0]["x"], snap[1])
+    np.testing.assert_array_equal(rows_a[0]["y"], snap[2])
+
+
+def test_parse_file_batched_copy_bytes(tmp_path):
+    """kind-0 columns are pooled views by default (documented lifetime)
+    and private arrays with copy_bytes=True."""
+    from keras_rs_tpu.data import native_io
+    from keras_rs_tpu.data.tfrecord import make_example, write_tfrecord
+
+    if not native_io.available():
+        return
+    paths = []
+    for f in range(2):
+        recs = [
+            make_example({"raw": np.full(8, f, np.uint8).tobytes()})
+            for _ in range(6)
+        ]
+        p = str(tmp_path / f"bytes{f}.tfrecord")
+        write_tfrecord(p, recs)
+        paths.append(p)
+    _, cols_a = native_io.parse_file_batched(
+        paths[0], ["raw"], copy_bytes=True
+    )
+    kind, arr_a = cols_a["raw"]
+    assert kind == 0
+    snap = arr_a.copy()
+    _, _ = native_io.parse_file_batched(
+        paths[1], ["raw"], copy_bytes=True
+    )
+    np.testing.assert_array_equal(arr_a, snap)

@@ -165,3 +165,36 @@ def test_freeze_rejects_unknown_quantize():
         assert "int8" in str(e)
     else:
         raise AssertionError("expected ValueError")
+
+
+def test_embed_reduce_config_roundtrip():
+    from keras_rs_tpu.core import serialization
+
+    er = EmbedReduce(
+        12, 4, key=jax.random.key(0), combiner="sqrtn", name="er"
+    )
+    er2 = serialization.deserialize(serialization.serialize(er))
+    # Architecture round-trips (weights come from checkpoints).
+    assert isinstance(er2, EmbedReduce)
+    assert (er2.input_dim, er2.output_dim) == (12, 4)
+    assert er2.combiner == "sqrtn" and er2.name == "er"
+    assert er2.embeddings.shape == er.embeddings.shape
+
+
+def test_quantized_embed_reduce_config_roundtrip():
+    from keras_rs_tpu.core import serialization
+
+    table = np.random.default_rng(0).normal(size=(10, 8)).astype(
+        np.float32
+    )
+    q = QuantizedEmbedReduce.from_table(
+        table, combiner="sum", name="qer"
+    )
+    q2 = serialization.deserialize(serialization.serialize(q))
+    assert isinstance(q2, QuantizedEmbedReduce)
+    assert (q2.input_dim, q2.output_dim) == (10, 8)
+    assert q2.combiner == "sum" and q2.name == "qer"
+    # Placeholder weights have the right shapes/dtypes for checkpoint
+    # restore (jax.tree_util-compatible with the original).
+    assert q2.q.shape == q.q.shape and q2.q.dtype == jnp.int8
+    assert q2.scale.shape == q.scale.shape

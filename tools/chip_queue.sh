@@ -15,9 +15,9 @@ run() {
   echo "=== $name exit $? end $(date +%T)" | tee -a "$OUT/queue.log"
 }
 
-# 0. probe
+# 0. probe — (ones(512,512) @ itself).sum() = 512^3 = 134217728
 run probe 120 python -c "import jax, jax.numpy as jnp; x=jnp.ones((512,512)); print(float((x@x).sum()))"
-grep -q 262144 "$OUT/probe.log" || { echo "CHIP STILL WEDGED"; exit 1; }
+grep -q 134217728 "$OUT/probe.log" || { echo "CHIP STILL WEDGED"; exit 1; }
 
 # 1. main bench (f32 + flagship valence)
 run bench_f32 3000 python bench.py

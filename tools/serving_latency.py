@@ -37,6 +37,17 @@ sys.path.insert(
 HOST_RT = 0.033  # measured tunnel round-trip (BASELINE.md)
 
 
+def _unique_bytes(tree) -> int:
+    """Sum of nbytes over UNIQUE buffers (shared-table features alias
+    the same jax.Array; naive tree_leaves would double-count it)."""
+    return sum(
+        x.nbytes
+        for x in {
+            id(x): x for x in jax.tree_util.tree_leaves(tree)
+        }.values()
+    )
+
+
 def honest_ms(fn, args, perturb, derive, iters=50):
     """Median per-call ms of `fn(*args)` with data-dependent chaining.
 
@@ -106,10 +117,18 @@ def bench_dlrm_inference(small=False):
 
         def perturb(args, tick):
             m, f, b = args
-            # Fold the tick into the dense features only (cheap, keeps
-            # categorical ids in range).
+            # The tick must reach EVERY measured op's inputs — dense
+            # features AND the categorical ids — or XLA hoists the
+            # loop-invariant table gathers out of the scan (the LICM
+            # failure mode CLAUDE.md documents). tick_i is 0 at runtime
+            # (derive scales by 1e-6) so the ids actually gathered are
+            # unchanged, but its data dependency defeats hoisting.
+            tick_i = tick.astype(jnp.int32)
             b2 = dict(b)
             b2["dense"] = b["dense"] + tick.astype(b["dense"].dtype) * 1e-6
+            for i, v in enumerate(vocabs):
+                k = f"cat_{i}"
+                b2[k] = (b[k] + tick_i) % v
             return (m, f, b2)
 
         def derive(out):
@@ -118,9 +137,7 @@ def bench_dlrm_inference(small=False):
         ms = honest_ms(
             forward, (model, frozen, batch), perturb, derive, iters=30
         )
-        f32_bytes = sum(
-            x.nbytes for x in jax.tree_util.tree_leaves(frozen)
-        )
+        f32_bytes = _unique_bytes(frozen)
         print(f"[dlrm-infer] B={B}: {ms:.3f} ms/batch "
               f"({B / ms * 1e3:,.0f} ex/s, tables {f32_bytes/1e6:.0f} MB)")
 
@@ -130,9 +147,7 @@ def bench_dlrm_inference(small=False):
         ms_q = honest_ms(
             forward, (model, frozen_q, batch), perturb, derive, iters=30
         )
-        q_bytes = sum(
-            x.nbytes for x in jax.tree_util.tree_leaves(frozen_q)
-        )
+        q_bytes = _unique_bytes(frozen_q)
         print(f"[dlrm-infer-int8] B={B}: {ms_q:.3f} ms/batch "
               f"({B / ms_q * 1e3:,.0f} ex/s, tables {q_bytes/1e6:.0f} MB)")
         del model, frozen, frozen_q
