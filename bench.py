@@ -89,6 +89,10 @@ def build(
         # tools/probe_dense_mfu.py; params/accumulation stay f32).
         dense_output_dtype=os.environ.get("BENCH_DENSE_OUTPUT_DTYPE")
         or None,
+        # BENCH_COMM_DTYPE=bfloat16 compresses the embedding exchange
+        # collectives (halves ICI bytes; single-chip effect is nil —
+        # this knob exists for multi-chip runs).
+        embedding_comm_dtype=os.environ.get("BENCH_COMM_DTYPE") or None,
     )
     model = DLRMDCNv2(cfg, key=jax.random.key(0), mesh=mesh)
     raw = synthetic.criteo_like_batch(

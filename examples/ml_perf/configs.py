@@ -69,6 +69,13 @@ class ExperimentConfig:
     profile_dir: str = "/tmp/keras_rs_tpu_profile"
     checkpoint_dir: str | None = None
     checkpoint_every: int = 1000
+    #: "bfloat16" halves the ICI bytes of the embedding exchange (fwd
+    #: activation reduce-scatter + bwd cotangent all-gather; local
+    #: accumulation stays f32) — for ICI-bound multi-chip topologies.
+    embedding_comm_dtype: str | None = None
+    #: "bfloat16" keeps dense-stack activations resident in bf16
+    #: between matmul fusions (params/accumulation stay f32).
+    dense_output_dtype: str | None = None
 
 
 def full_criteo(name="full_criteo", **overrides) -> ExperimentConfig:

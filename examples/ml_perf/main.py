@@ -109,6 +109,8 @@ def main(config_name: str = "smoke_test", **overrides) -> dict:
         max_unique_ids_per_partition=max_unique,
         learning_rate=cfg.learning_rate,
         global_batch_size=cfg.global_batch_size,
+        embedding_comm_dtype=cfg.embedding_comm_dtype,
+        dense_output_dtype=cfg.dense_output_dtype,
     )
     model = DLRMDCNv2(model_cfg, key=jax.random.key(0), mesh=mesh)
 

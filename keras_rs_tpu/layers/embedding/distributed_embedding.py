@@ -98,6 +98,7 @@ class DistributedEmbedding(Module):
         table_stacking: Any = "auto",
         dtype: Any = jnp.float32,
         auto_grow: bool = True,
+        comm_dtype: str | None = None,
     ) -> None:
         if key is None:
             key = jax.random.key(0)
@@ -118,6 +119,16 @@ class DistributedEmbedding(Module):
         #: the batch when limits are exceeded — no ids are ever dropped.
         #: False restores warn-only behavior (manual rebuild_capacities).
         self.auto_grow = auto_grow
+        #: "bfloat16" compresses the lookup's two [B, F, dim]-sized
+        #: collectives (fwd activation reduce-scatter, bwd cotangent
+        #: all-gather) on the wire — half the ICI bytes per step; local
+        #: accumulation stays f32 (see lookup.stack_lookup).
+        if comm_dtype not in (None, "float32", "bfloat16"):
+            raise ValueError(
+                f"Unsupported comm_dtype: {comm_dtype!r} (use "
+                "None/'float32' or 'bfloat16')."
+            )
+        self.comm_dtype = comm_dtype
         self._feature_leaves, self._feature_treedef = _flatten_features(
             feature_configs
         )
@@ -731,6 +742,7 @@ class DistributedEmbedding(Module):
                 self.axis_name,
                 self.state.value[stack.name],
                 inputs["sharded"][stack.name],
+                comm_dtype=self.comm_dtype,
             )
             acts_by_name.update(split_activations(stack, acts))
         for name, (ids, w) in inputs["dense"].items():
@@ -911,6 +923,7 @@ class DistributedEmbedding(Module):
             "table_stacking": self._table_stacking,
             "dtype": self._dtype_str,
             "auto_grow": self.auto_grow,
+            "comm_dtype": self.comm_dtype,
         }
 
     @classmethod
@@ -955,6 +968,7 @@ class DistributedEmbedding(Module):
             table_stacking=config.get("table_stacking", "auto"),
             dtype=np.dtype(config.get("dtype", "float32")),
             auto_grow=config.get("auto_grow", True),
+            comm_dtype=config.get("comm_dtype"),
         )
 
 

@@ -110,6 +110,7 @@ def stack_lookup(
     axis: str,
     state: Mapping[str, Any],
     coo: Mapping[str, jax.Array],
+    comm_dtype: str | None = None,
 ) -> jax.Array:
     """Differentiable lookup for one stack.
 
@@ -117,6 +118,14 @@ def stack_lookup(
     (segments are sample-major: device, local sample, feature),
     sample-sharded over `axis`. Gradient side effect: the cotangent of
     `state` is the post-update state (Overwrite contract).
+
+    `comm_dtype="bfloat16"` compresses the two [B, F, dim]-sized
+    collectives — the forward's partial-activation reduce-scatter and
+    the backward's cotangent all-gather — to bf16 on the wire, halving
+    the embedding path's ICI bytes (tools/weak_scaling.py accounts the
+    exact volumes). Local math stays f32: partials are accumulated in
+    f32 before the cast, and gradients are upcast right after the
+    gather, so only the exchanged values round.
     """
     D = stack.num_shards
     C = stack.max_ids_per_partition
@@ -130,6 +139,12 @@ def stack_lookup(
     packed = stack.packed_state
     bitpacked = stack.bitpacked_state
     is_bf16 = stack.dtype == "bfloat16"
+    if comm_dtype not in (None, "float32", "bfloat16"):
+        raise ValueError(
+            f"Unsupported comm_dtype: {comm_dtype!r} (use None/'float32' "
+            "or 'bfloat16')."
+        )
+    comm_bf16 = comm_dtype == "bfloat16"
 
     send_slots = coo["send_slots"]  # [D, D, C] int32, P(axis)
     send_segs = coo["send_segs"]
@@ -173,9 +188,15 @@ def stack_lookup(
         # holds dense per-segment partials, so "all_to_all then sum over
         # sources" IS a reduce-scatter — one ring collective, no
         # [D, S_l, dim] intermediate or separate reduction.
+        if comm_bf16:
+            # Halve the wire bytes: partials were accumulated in f32
+            # locally; only the D-way ring reduction rounds to bf16.
+            partial = partial.astype(jnp.bfloat16)
         acts = jax.lax.psum_scatter(
             partial, axis, scatter_dimension=0, tiled=True
         )  # [S_l, dim] on the segment-owner device
+        if comm_bf16:
+            acts = acts.astype(jnp.float32)
         return (
             acts[None],  # [1, S_l, dim]
             recv_slots[None],
@@ -199,11 +220,15 @@ def stack_lookup(
             u_slots[0], e_unique[0], d_acts[0]
         )
         g_seg = d_acts  # [S_l, dim]; gains are pre-folded
+        if comm_bf16:
+            # Compress the cotangent exchange; upcast right after the
+            # gather so the per-entry grads and segment-sum stay f32.
+            g_seg = g_seg.astype(jnp.bfloat16)
         g_all = jax.lax.all_gather(g_seg, axis)  # [D, S_l, dim]
         # recv_segs are global flat indices already (see fwd).
         ge = jnp.take(
             g_all.reshape(D * S_l, dim), recv_segs.reshape(-1), axis=0
-        ) * recv_gains.reshape(-1, 1)
+        ).astype(jnp.float32) * recv_gains.reshape(-1, 1)
         # Padding and unique-capacity-overflow entries carry the drop
         # sentinel U (one past the valid range): segment_sum discards
         # out-of-range ids natively, so no [U, dim] sink-mask multiply

@@ -50,6 +50,7 @@ class DLRMConfig:
         compute_dtype: str | None = "bfloat16",
         embedding_optimizer: str = "adagrad",
         dense_output_dtype: str | None = None,
+        embedding_comm_dtype: str | None = None,
     ):
         self.vocab_sizes = list(vocab_sizes)
         self.multi_hot_sizes = list(
@@ -80,6 +81,10 @@ class DLRMConfig:
         #: f32) — halves inter-fusion activation bytes. None = f32
         #: activations (reference-parity numerics).
         self.dense_output_dtype = dense_output_dtype
+        #: "bfloat16" sends the embedding exchange (fwd reduce-scatter,
+        #: bwd all-gather) over ICI in bf16 — half the comm bytes per
+        #: step on multi-chip meshes (lookup.stack_lookup).
+        self.embedding_comm_dtype = embedding_comm_dtype
 
 
 class DLRMDCNv2(Module):
@@ -146,6 +151,7 @@ class DLRMDCNv2(Module):
             DistributedEmbedding(
                 feature_configs, key=k_emb, mesh=mesh,
                 axis_name=axis_name, dtype=dtype,
+                comm_dtype=cfg.embedding_comm_dtype,
             )
             if feature_configs
             else None

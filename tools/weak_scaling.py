@@ -91,7 +91,11 @@ def collective_bytes(hlo_text: str) -> dict[str, int]:
     return out
 
 
-def measure(n_devices: int, per_device_batch: int = 64) -> dict:
+def measure(
+    n_devices: int,
+    per_device_batch: int = 64,
+    comm_dtype: str | None = None,
+) -> dict:
     from __graft_entry__ import _make_model_and_batch
     from keras_rs_tpu import training
     from keras_rs_tpu.models.dlrm import bce_loss
@@ -100,14 +104,23 @@ def measure(n_devices: int, per_device_batch: int = 64) -> dict:
     devices = jax.devices()[:n_devices]
     mesh = mesh_lib.create_mesh(devices)
     batch = per_device_batch * n_devices
-    model, cfg, pre = _make_model_and_batch(mesh, batch)
+    model, cfg, pre = _make_model_and_batch(
+        mesh, batch, embedding_comm_dtype=comm_dtype
+    )
     optimizer = optax.adagrad(0.01)
     state = training.create_train_state(model, optimizer)
     step = training.make_train_step(bce_loss, optimizer, donate=False)
     lowered = step.lower(state, pre)
     compiled = lowered.compile()
-    text = compiled.as_text()
-    comm = collective_bytes(text)
+    comm = collective_bytes(compiled.as_text())
+    # The pre-SPMD HLO carries the REQUESTED wire dtype of the
+    # explicit shard_map collectives (the embedding exchange). It lacks
+    # the dense-grad all-reduce (GSPMD inserts that at compile time),
+    # and XLA's CPU backend float-normalizes bf16 collectives to f32 at
+    # execution — so `comm` above reflects CPU execution, while
+    # `requested` below is the wire format a TPU backend (native bf16
+    # collectives) actually ships.
+    requested = collective_bytes(lowered.as_text("hlo"))
     cost = compiled.cost_analysis()
     if isinstance(cost, (list, tuple)):
         cost = cost[0]
@@ -123,18 +136,24 @@ def measure(n_devices: int, per_device_batch: int = 64) -> dict:
         "per_device_batch": per_device_batch,
         "collective_bytes_per_device": total_comm,
         "per_kind_per_device": comm,
+        "requested_per_kind_per_device": requested,
         "flops_per_device": flops,
         "comm_bytes_per_local_example": total_comm / per_device_batch,
     }
 
 
 def main() -> None:
-    rows = [measure(n) for n in (1, 2, 4, 8)]
+    rows32 = [measure(n) for n in (1, 2, 4, 8)]
+    rows16 = [
+        measure(n, comm_dtype="bfloat16") for n in (1, 2, 4, 8)
+    ]
+    print("-- executed collectives (compiled CPU HLO, comm f32) --")
     print(
         f"{'n':>2} {'batch':>6} {'a2a/dev':>12} {'ar(buf)':>12} "
-        f"{'ag/dev':>12} {'total/dev':>12} {'B/loc.ex':>10}"
+        f"{'ag/dev':>12} {'rs/dev':>12} {'total/dev':>12} "
+        f"{'B/loc.ex':>10}"
     )
-    for r in rows:
+    for r in rows32:
         n = r["n_devices"]
         k = r["per_kind_per_device"]
         print(
@@ -142,10 +161,37 @@ def main() -> None:
             f"{k['all-to-all']:>12,} "
             f"{k['all-reduce']:>12,} "
             f"{k['all-gather']:>12,} "
+            f"{k['reduce-scatter']:>12,} "
             f"{r['collective_bytes_per_device']:>12,} "
             f"{r['comm_bytes_per_local_example']:>10,.0f}"
         )
-    print(json.dumps({"weak_scaling": rows}))
+    print(
+        "-- embedding-exchange wire bytes, requested (pre-SPMD HLO; "
+        "TPU ships these natively, CPU float-normalizes bf16 to f32) --"
+    )
+    print(
+        f"{'n':>2} {'ag f32':>12} {'ag bf16':>12} {'rs f32':>12} "
+        f"{'rs bf16':>12} {'a2a (both)':>12}"
+    )
+    for r32, r16 in zip(rows32, rows16):
+        k32 = r32["requested_per_kind_per_device"]
+        k16 = r16["requested_per_kind_per_device"]
+        print(
+            f"{r32['n_devices']:>2} "
+            f"{k32['all-gather']:>12,} "
+            f"{k16['all-gather']:>12,} "
+            f"{k32['reduce-scatter']:>12,} "
+            f"{k16['reduce-scatter']:>12,} "
+            f"{k16['all-to-all']:>12,}"
+        )
+    print(
+        json.dumps(
+            {
+                "weak_scaling_float32": rows32,
+                "weak_scaling_comm_bfloat16": rows16,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
