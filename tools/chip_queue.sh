@@ -8,14 +8,39 @@ cd /root/repo
 OUT=/tmp/chip_r3
 mkdir -p "$OUT"
 
+# Stage protocol: a stage that exits 0 is marked done and skipped on
+# retry attempts; a stage that hits its timeout (124) very likely died
+# mid-TPU-op and wedged the tunnel — ABORT the whole queue so the
+# chip_retry.sh cooldown runs, instead of burning every later stage's
+# cap against a dead tunnel (each kill extends the wedge). A stage that
+# fails on its own (nonzero, not timeout) is recorded and skipped on
+# retries — deterministic failures don't deserve chip time twice.
+mkdir -p "$OUT/done"
 run() {
   local name="$1" cap="$2"; shift 2
+  if [ -e "$OUT/done/$name" ]; then
+    echo "=== $name skipped ($(cat "$OUT/done/$name")) $(date +%T)" | tee -a "$OUT/queue.log"
+    return 0
+  fi
   echo "=== $name (cap ${cap}s) start $(date +%T)" | tee -a "$OUT/queue.log"
   timeout "$cap" "$@" > "$OUT/$name.log" 2>&1
-  echo "=== $name exit $? end $(date +%T)" | tee -a "$OUT/queue.log"
+  local rc=$?
+  echo "=== $name exit $rc end $(date +%T)" | tee -a "$OUT/queue.log"
+  if [ "$rc" -eq 0 ]; then
+    echo ok > "$OUT/done/$name"
+  elif [ "$rc" -eq 124 ] || [ "$rc" -eq 137 ]; then
+    echo "=== $name TIMED OUT — tunnel likely wedged; aborting queue for cooldown" | tee -a "$OUT/queue.log"
+    exit 1
+  else
+    echo "fail rc=$rc" > "$OUT/done/$name"
+  fi
 }
 
 # 0. probe — (ones(512,512) @ itself).sum() = 512^3 = 134217728
+# The probe is never skipped: it is the cheap wedge detector that must
+# run at the top of EVERY attempt (a mid-queue wedge on the previous
+# attempt leaves the tunnel dead even though the probe once passed).
+rm -f "$OUT/done/probe"
 run probe 120 python -c "import jax, jax.numpy as jnp; x=jnp.ones((512,512)); print(float((x@x).sum()))"
 grep -q 134217728 "$OUT/probe.log" || { echo "CHIP STILL WEDGED"; exit 1; }
 
