@@ -40,6 +40,12 @@ class ExperimentConfig:
     num_steps: int = 28_000
     file_pattern: str | None = None  # None -> dummy data
     val_file_pattern: str | None = None  # None -> dummy eval batches
+    #: The reference's full-dataset TFRecords pack this many logical
+    #: records per tf.train.Example (FILE-BATCHED schema — label
+    #: Int64List[N], per-key dense FloatLists, categorical BytesLists
+    #: of raw-i64 strings; reference configs/v6e_8_full_dataset.py:17
+    #: sets 4224). None = one record per Example.
+    file_batch_size: int | None = None
     num_loader_threads: int = 4
     #: Run the COO preprocessing ON DEVICE inside the jitted step
     #: instead of on host loader threads (the reference needs 4 threads

@@ -121,6 +121,7 @@ def main(config_name: str = "smoke_test", **overrides) -> dict:
         multi_hot_sizes=cfg.multi_hot_sizes,
         process_index=jax.process_index(),
         process_count=jax.process_count(),
+        file_batch_size=cfg.file_batch_size,
     )
 
     def raw_batches():
@@ -220,6 +221,7 @@ def main(config_name: str = "smoke_test", **overrides) -> dict:
                 multi_hot_sizes=cfg.multi_hot_sizes,
                 process_index=jax.process_index(),
                 process_count=jax.process_count(),
+                file_batch_size=cfg.file_batch_size,
             )
             return val_dataset.batches(epochs=1)
         return dataset.dummy_batches(4, seed=777)

@@ -126,6 +126,13 @@ class CriteoDataset:
         self.dense_key = dense_key
         self.label_key = label_key
         self.cat_key_fmt = cat_key_fmt
+        # Fixed-width schema learned from the first natively-parsed
+        # file: (per-key [(kind, cell_bytes)], records/file). Later
+        # files take the native fixed-column path, which writes each
+        # column straight into its final private array (no repack copy).
+        self._fixed_schema: tuple[list[tuple[int, int]], int] | None = (
+            None
+        )
 
     # -- dummy mode ---------------------------------------------------------
     def dummy_batches(
@@ -210,6 +217,33 @@ class CriteoDataset:
         if use_native:
             from keras_rs_tpu.data import native_io
 
+            # Steady-state fast path (file-batched schema): once the
+            # first file has taught us every key's (kind, cell width),
+            # the native pass writes each column straight into its
+            # final private array — the per-column repack copy below
+            # (the same byte volume as the parse itself) never happens.
+            if (
+                self.file_batch_size is not None
+                and self._fixed_schema is not None
+            ):
+                schema, n_est = self._fixed_schema
+                try:
+                    res = native_io.parse_file_fixed(
+                        path, keys, schema, n_est
+                    )
+                except OSError:
+                    res = None
+                if res is not None:
+                    n, cols = res
+                    if not n:
+                        return None
+                    return self._batched_typed_to_arrays(cols)
+                # Schema deviation or native failure: drop the learned
+                # schema (the generic path below re-learns it from the
+                # next conforming file) and fall through to the generic
+                # column path / Python reader.
+                self._fixed_schema = None
+
             # Column fast path: one native pass per file, then pure
             # array slicing — no per-record Python (data/native_io.py;
             # fixed-width schemas only, which Criteo's decode_raw
@@ -228,6 +262,19 @@ class CriteoDataset:
                 if self.file_batch_size is not None:
                     out = self._batched_columns_to_arrays(cols)
                     if out is not None:
+                        if self._fixed_schema is None:
+                            self._fixed_schema = (
+                                [
+                                    (
+                                        kind,
+                                        arr.shape[1] * arr.itemsize,
+                                    )
+                                    for kind, arr in (
+                                        cols[k] for k in keys
+                                    )
+                                ],
+                                n,
+                            )
                         return out
                 else:
                     return self._columns_to_arrays(cols)
@@ -282,6 +329,32 @@ class CriteoDataset:
                 .reshape(-1, m)
                 .astype(np.int64, copy=False)
             )
+        return out
+
+    def _batched_typed_to_arrays(
+        self, cols: dict[str, tuple[int, np.ndarray]]
+    ) -> dict[str, np.ndarray]:
+        """Fixed-path typed columns -> flat row arrays, (near) zero-copy.
+
+        `parse_file_fixed` already delivered private, contiguous,
+        correctly-typed [n, elems] columns whose kinds/widths the
+        native pass enforced against the learned schema, so the heavy
+        per-column `fast_contig` copies of `_batched_columns_to_arrays`
+        reduce to views: each cat column is a bytes->i64 view + reshape,
+        and only the tiny label cast and [n*fbs, 13] dense interleave
+        allocate.
+        """
+        _, lab = cols[self.label_key]  # i64 [n, fbs]
+        out = {"label": lab.reshape(-1).astype(np.float32)}
+        dense_cols = [cols[k][1] for k in self.dense_keys]
+        # [n, fbs] x13 -> [n, fbs, 13] (new contiguous) -> [n*fbs, 13]
+        out["dense"] = np.stack(dense_cols, axis=-1).reshape(
+            -1, len(dense_cols)
+        )
+        for i, k in enumerate(self.cat_keys):
+            _, c = cols[k]  # uint8 [n, fbs*m*8]
+            m = self.multi_hot_sizes[i]
+            out[f"cat_{i}"] = c.view("<i8").reshape(-1, m)
         return out
 
     def _batched_python_rows(

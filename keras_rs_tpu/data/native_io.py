@@ -70,6 +70,19 @@ def get_lib() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_long),       # needed
             ctypes.POINTER(ctypes.c_long),       # nrec
         ]
+        if hasattr(lib, "tfrec_parse_file_cols"):
+            lib.tfrec_parse_file_cols.restype = ctypes.c_long
+            lib.tfrec_parse_file_cols.argtypes = [
+                ctypes.c_char_p,                     # path
+                ctypes.c_long,                       # num_keys
+                ctypes.POINTER(ctypes.c_char_p),     # keys
+                ctypes.POINTER(ctypes.c_long),       # key_lens
+                ctypes.POINTER(ctypes.c_void_p),     # dsts
+                ctypes.POINTER(ctypes.c_long),       # widths
+                ctypes.POINTER(ctypes.c_long),       # kinds expected
+                ctypes.c_long,                       # n_cap
+                ctypes.POINTER(ctypes.c_long),       # nrec
+            ]
         _lib = lib
         return _lib
 
@@ -255,6 +268,69 @@ def parse_file_batched(
         out[key] = (kind, col)
         col_off += w
     return n, out
+
+
+def parse_file_fixed(
+    path: str,
+    keys: list[str],
+    schema: list[tuple[int, int]],
+    n_cap: int,
+) -> tuple[int, dict[str, tuple[int, np.ndarray]]] | None:
+    """One-pass parse straight into final column-contiguous arrays.
+
+    `schema` declares, per key, (kind, cell byte width) — learned from
+    a first `parse_file_batched` call on the same dataset. The native
+    pass writes record r's cell for key k at row r of a PRIVATE
+    [n, width] array per key, so the per-column repack copy that
+    `parse_file_batched` consumers pay (the same byte volume as the
+    parse itself) never happens. Arrays are typed by kind — uint8 for
+    BytesList, f32 for FloatList, i64 for Int64List — contiguous, and
+    safe to hold indefinitely.
+
+    Returns (n_records, {key: (kind, array[:n])}); None when the file
+    deviates from the declared schema (caller falls back to the generic
+    API); raises OSError on IO/parse errors.
+    """
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "tfrec_parse_file_cols"):
+        return None
+    nk = len(keys)
+    key_bytes = [k.encode() for k in keys]
+    key_arr = (ctypes.c_char_p * nk)(*key_bytes)
+    len_arr = (ctypes.c_long * nk)(*[len(k) for k in key_bytes])
+    width_arr = (ctypes.c_long * nk)(*[w for _, w in schema])
+    kind_arr = (ctypes.c_long * nk)(*[k for k, _ in schema])
+    nrec = ctypes.c_long(0)
+
+    for _ in range(2):
+        arrs: list[np.ndarray] = []
+        dsts = (ctypes.c_void_p * nk)()
+        for i, (kind, w) in enumerate(schema):
+            if kind == 1:
+                a = np.empty((n_cap, w // 4), "<f4")
+            elif kind == 2:
+                a = np.empty((n_cap, w // 8), "<i8")
+            else:
+                a = np.empty((n_cap, w), np.uint8)
+            arrs.append(a)
+            dsts[i] = a.ctypes.data
+        rc = lib.tfrec_parse_file_cols(
+            path.encode(), nk, key_arr, len_arr,
+            dsts, width_arr, kind_arr, n_cap, ctypes.byref(nrec),
+        )
+        if rc >= 0:
+            n = int(nrec.value)
+            return n, {
+                k: (schema[i][0], arrs[i][:n])
+                for i, k in enumerate(keys)
+            }
+        if rc == -4:
+            return None  # schema deviation: generic-path fallback
+        if rc == -3:
+            n_cap = int(nrec.value)  # exact; one retry always fits
+            continue
+        raise OSError(f"native TFRecord fixed parse failed ({rc}): {path}")
+    raise OSError(f"native TFRecord fixed parse failed (-3 twice): {path}")
 
 
 def parse_file_columns(

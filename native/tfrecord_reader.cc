@@ -363,4 +363,107 @@ long tfrec_parse_file2(const char* path, long num_keys,
                           needed_bytes, n_records_out);
 }
 
+// Fixed-width column API — the steady-state Criteo path. The caller
+// declares, per key, the expected kind and exact cell byte width and
+// supplies one destination buffer per key; record r's cell for key k
+// is written at dsts[k] + r * widths[k], i.e. straight into the final
+// [n, width] column-contiguous array. The generic API above instead
+// packs all cells into one interleaved buffer that the Python side
+// must re-copy per column (~the same byte volume as the parse itself,
+// measured at 10-24 ms per 45 MB Criteo file) — this entry point makes
+// that second copy never happen. Returns n_records on success; -1 on
+// IO error; -3 when the file holds more than n_cap records
+// (*n_records_out is exact, caller re-allocates and retries); -4 when
+// any cell's kind or byte width deviates from the declaration (caller
+// falls back to the generic API).
+long tfrec_parse_file_cols(const char* path, long num_keys,
+                           const char** keys, const long* key_lens,
+                           uint8_t** dsts, const long* widths,
+                           const long* kinds_expected, long n_cap,
+                           long* n_records_out) {
+  MappedFile mf(path);
+  if (!mf.ok) return -1;
+  if (n_records_out) *n_records_out = 0;
+  if (mf.size == 0) return 0;
+  const uint8_t* data = mf.data;
+  const size_t N = mf.size;
+
+  std::vector<Slice> found(static_cast<size_t>(num_keys));
+  std::vector<uint8_t> have(static_cast<size_t>(num_keys), 0);
+
+  long n_records = 0;
+  bool mismatch = false;
+  size_t pos = 0;
+  while (pos + 12 <= N) {
+    uint64_t len;
+    std::memcpy(&len, data + pos, 8);  // little-endian host
+    pos += 12;
+    if (pos + len + 4 > N) break;
+    const uint8_t* payload = data + pos;
+    pos += len + 4;
+
+    // Past capacity (or after a mismatch): keep counting records from
+    // the framing alone so *n_records_out is exact for the retry, but
+    // skip the content scan entirely.
+    if (n_records >= n_cap || mismatch) {
+      ++n_records;
+      continue;
+    }
+
+    std::memset(have.data(), 0, have.size());
+    Cursor ex{payload, payload + len};
+    uint32_t field, wire;
+    Slice val;
+    uint64_t vv;
+    while (next_field(ex, &field, &wire, &val, &vv)) {
+      if (field != 1 || wire != 2) continue;  // Example.features
+      Cursor fs{val.p, val.p + val.len};
+      while (next_field(fs, &field, &wire, &val, &vv)) {
+        if (field != 1 || wire != 2) continue;  // map entry
+        Cursor me{val.p, val.p + val.len};
+        Slice key_s, feat_s;
+        bool have_key = false, have_feat = false;
+        while (next_field(me, &field, &wire, &val, &vv)) {
+          if (field == 1 && wire == 2) {
+            key_s = val;
+            have_key = true;
+          } else if (field == 2 && wire == 2) {
+            feat_s = val;
+            have_feat = true;
+          }
+        }
+        if (!have_key || !have_feat) continue;
+        for (long k = 0; k < num_keys; ++k) {
+          if (key_eq(key_s.p, key_s.len, keys[k], key_lens[k])) {
+            found[static_cast<size_t>(k)] = feat_s;
+            have[static_cast<size_t>(k)] = 1;
+            break;
+          }
+        }
+      }
+    }
+
+    for (long k = 0; k < num_keys; ++k) {
+      const long w = widths[k];
+      if (!have[static_cast<size_t>(k)]) {
+        mismatch = true;
+        break;
+      }
+      Out out{dsts[k] + n_records * w, static_cast<uint64_t>(w)};
+      int kind = parse_feature(found[static_cast<size_t>(k)], out);
+      if (kind != static_cast<int>(kinds_expected[k]) ||
+          out.written != static_cast<uint64_t>(w)) {
+        mismatch = true;
+        break;
+      }
+    }
+    ++n_records;
+  }
+
+  if (n_records_out) *n_records_out = n_records;
+  if (mismatch) return -4;
+  if (n_records > n_cap) return -3;
+  return n_records;
+}
+
 }  // extern "C"

@@ -333,6 +333,69 @@ def test_criteo_batch_spans_multiple_files(tmp_path):
             )
 
 
+def test_criteo_fixed_column_path(tmp_path):
+    """The steady-state fixed-column path (tfrec_parse_file_cols):
+    schema learned from file 1, later files parse straight into final
+    arrays bit-identically; an undersized record estimate retries
+    exactly; a schema-deviating file falls back to the generic path."""
+    from keras_rs_tpu.data import native_io
+    from keras_rs_tpu.data.criteo import write_batched_criteo_files
+
+    if not native_io.available():
+        return
+    vocab, mh = [300, 70, 1000], [2, 1, 4]
+    write_batched_criteo_files(
+        str(tmp_path),
+        num_files=3,
+        protos_per_file=2,
+        file_batch_size=16,
+        vocab_sizes=vocab,
+        multi_hot_sizes=mh,
+        seed=11,
+    )
+    ds = CriteoDataset(
+        str(tmp_path / "*.tfrecord"),
+        global_batch_size=16,
+        vocab_sizes=vocab,
+        multi_hot_sizes=mh,
+        file_batch_size=16,
+    )
+    keys = ds._file_keys()
+    files = sorted((tmp_path).glob("*.tfrecord"))
+    assert ds._fixed_schema is None
+    ref = [ds._parse_file_arrays(str(p), keys, True) for p in files]
+    schema, n_est = ds._fixed_schema
+    assert n_est == 2 and len(schema) == len(keys)
+    # Files 2-3 took the fixed path; re-derive them generically and
+    # compare bit-for-bit.
+    for p, want in zip(files, ref):
+        n, cols = native_io.parse_file_batched(str(p), keys)
+        gen = ds._batched_columns_to_arrays(cols)
+        assert set(gen) == set(want)
+        for k in gen:
+            assert want[k].dtype == gen[k].dtype, k
+            np.testing.assert_array_equal(want[k], gen[k], err_msg=k)
+
+    # Undersized record estimate: the -3 handshake retries exactly.
+    res = native_io.parse_file_fixed(str(files[1]), keys, schema, 1)
+    assert res is not None and res[0] == 2
+    np.testing.assert_array_equal(
+        res[1][keys[0]][1].reshape(-1).astype(np.float32),
+        ref[1]["label"],
+    )
+
+    # Schema deviation (wrong width): native reports -4, caller gets
+    # None and _parse_file_arrays falls back to the generic path.
+    bad = [(k, w + 8) for k, w in schema]
+    assert (
+        native_io.parse_file_fixed(str(files[1]), keys, bad, 4) is None
+    )
+    ds._fixed_schema = (bad, 2)
+    out = ds._parse_file_arrays(str(files[1]), keys, True)
+    for k in out:
+        np.testing.assert_array_equal(out[k], ref[1][k], err_msg=k)
+
+
 def test_parse_file_columns_survives_next_parse(tmp_path):
     """parse_file_columns returns PRIVATE views: parsing a second file
     with the same key set must not overwrite rows from the first
