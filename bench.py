@@ -293,38 +293,47 @@ def main() -> None:
     # test, not capacity. Measured end-to-end like the main pipeline
     # (in-step device COO preprocessing + sharded lookup).
     if os.environ.get("BENCH_FLAGSHIP", "1") == "1":
-        from examples.ml_perf.configs import (
-            CRITEO_MULTI_HOT_SIZES,
-            CRITEO_VOCAB_SIZES,
-        )
+        # Fail-safe: the flagship state is ~10 GB at the default cap; an
+        # OOM (or any other failure) here must not take down the main
+        # bench line the driver records.
+        try:
+            from examples.ml_perf.configs import (
+                CRITEO_MULTI_HOT_SIZES,
+                CRITEO_VOCAB_SIZES,
+            )
 
-        cap = int(os.environ.get("BENCH_VOCAB_CAP", 1_000_000))
-        fv = [min(v, cap) for v in CRITEO_VOCAB_SIZES]
-        fb = int(os.environ.get("BENCH_FLAGSHIP_BATCH", batch_size))
-        state_f, step_f, pre_f, cfg_f, _ = build(
-            "sharded", mesh, fb, vocab, dim,
-            vocab_sizes=fv, multi_hot_sizes=CRITEO_MULTI_HOT_SIZES,
-        )
-        run_f = make_scan_runner(step_f, iters)
-        _, state_f = time_block(run_f, state_f, pre_f, host_rt)
-        ts_f = []
-        for _ in range(max(3, blocks - 2)):
-            el, state_f = time_block(run_f, state_f, pre_f, host_rt)
-            ts_f.append(el)
-        del state_f
-        f_s = float(np.median(ts_f)) / iters
-        f_floor = embedding_floor_ms(cfg_f, fb, mesh.devices.size)
-        large_ids = sum(
-            m
-            for v, m in zip(fv, CRITEO_MULTI_HOT_SIZES)
-            if v >= cfg_f.embedding_threshold
-        )
-        out.update(
-            flagship_examples_per_sec=round(fb / f_s, 1),
-            flagship_step_ms=round(f_s * 1e3, 3),
-            flagship_entries_per_batch=large_ids * fb,
-            flagship_embedding_floor_ms=round(f_floor, 3),
-        )
+            import gc
+
+            gc.collect()  # drop any lingering prior-variant device state
+            cap = int(os.environ.get("BENCH_VOCAB_CAP", 1_000_000))
+            fv = [min(v, cap) for v in CRITEO_VOCAB_SIZES]
+            fb = int(os.environ.get("BENCH_FLAGSHIP_BATCH", batch_size))
+            state_f, step_f, pre_f, cfg_f, _ = build(
+                "sharded", mesh, fb, vocab, dim,
+                vocab_sizes=fv, multi_hot_sizes=CRITEO_MULTI_HOT_SIZES,
+            )
+            run_f = make_scan_runner(step_f, iters)
+            _, state_f = time_block(run_f, state_f, pre_f, host_rt)
+            ts_f = []
+            for _ in range(max(3, blocks - 2)):
+                el, state_f = time_block(run_f, state_f, pre_f, host_rt)
+                ts_f.append(el)
+            del state_f
+            f_s = float(np.median(ts_f)) / iters
+            f_floor = embedding_floor_ms(cfg_f, fb, mesh.devices.size)
+            large_ids = sum(
+                m
+                for v, m in zip(fv, CRITEO_MULTI_HOT_SIZES)
+                if v >= cfg_f.embedding_threshold
+            )
+            out.update(
+                flagship_examples_per_sec=round(fb / f_s, 1),
+                flagship_step_ms=round(f_s * 1e3, 3),
+                flagship_entries_per_batch=large_ids * fb,
+                flagship_embedding_floor_ms=round(f_floor, 3),
+            )
+        except Exception as e:  # noqa: BLE001 — report, don't die
+            out.update(flagship_error=f"{type(e).__name__}: {e}"[:200])
 
     print(json.dumps(out))
 

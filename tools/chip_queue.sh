@@ -41,7 +41,7 @@ run() {
 # run at the top of EVERY attempt (a mid-queue wedge on the previous
 # attempt leaves the tunnel dead even though the probe once passed).
 rm -f "$OUT/done/probe"
-run probe 120 python -c "import jax, jax.numpy as jnp; x=jnp.ones((512,512)); print(float((x@x).sum()))"
+run probe 300 python -c "import jax, jax.numpy as jnp; x=jnp.ones((512,512)); print(float((x@x).sum()))"
 grep -q 134217728 "$OUT/probe.log" || { echo "CHIP STILL WEDGED"; exit 1; }
 
 # 1. main bench (f32 + flagship valence)
