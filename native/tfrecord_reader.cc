@@ -249,7 +249,10 @@ long parse_core(const uint8_t* data, size_t N, long num_keys,
     uint64_t len;
     std::memcpy(&len, data + pos, 8);  // little-endian host
     pos += 12;
-    if (pos + len + 4 > N) break;
+    // Overflow-safe framing check: a corrupted length near 2^64 would
+    // make `pos + len + 4` wrap (driving pos BACKWARDS — an infinite
+    // loop on hostile input), so compare against the remaining bytes.
+    if (len > N - pos || N - pos - len < 4) break;
     const uint8_t* payload = data + pos;
     pos += len + 4;
 
@@ -398,7 +401,8 @@ long tfrec_parse_file_cols(const char* path, long num_keys,
     uint64_t len;
     std::memcpy(&len, data + pos, 8);  // little-endian host
     pos += 12;
-    if (pos + len + 4 > N) break;
+    // Overflow-safe framing check (see parse_core).
+    if (len > N - pos || N - pos - len < 4) break;
     const uint8_t* payload = data + pos;
     pos += len + 4;
 
