@@ -104,7 +104,7 @@ def preprocess_stack_device(
         r_safe = jnp.where(valid, r, 0)
 
         ds.append(b // Bl)
-        ss.append(r_safe % D)
+        ss.append((r_safe + tspec.rotation) % D)
         slots.append(tspec.local_offset + r_safe // D)
         # Sample-major segment ids (host-path parity): activations
         # reshape straight to [B, F, dim], no transpose downstream.

@@ -99,6 +99,7 @@ class DistributedEmbedding(Module):
         dtype: Any = jnp.float32,
         auto_grow: bool = True,
         comm_dtype: str | None = None,
+        shard_rotation: bool = True,
     ) -> None:
         if key is None:
             key = jax.random.key(0)
@@ -129,6 +130,11 @@ class DistributedEmbedding(Module):
                 "None/'float32' or 'bfloat16')."
             )
         self.comm_dtype = comm_dtype
+        #: Rotated MOD sharding (SparseCore stacking parity): table t of
+        #: a stack starts at shard `t % D`, spreading hot head rows of
+        #: frequency-sorted vocabularies across shards. Layouts differ
+        #: across this switch, so checkpoints are not interchangeable.
+        self.shard_rotation = bool(shard_rotation)
         self._feature_leaves, self._feature_treedef = _flatten_features(
             feature_configs
         )
@@ -156,7 +162,12 @@ class DistributedEmbedding(Module):
 
         # --- sharded path: stacks + on-device sharded init ---------------
         self.stacks = tuple(
-            build_stacks(sharded_fcs, num_shards, stacking=table_stacking)
+            build_stacks(
+                sharded_fcs,
+                num_shards,
+                stacking=table_stacking,
+                shard_rotation=self.shard_rotation,
+            )
             if sharded_fcs
             else ()
         )
@@ -924,6 +935,7 @@ class DistributedEmbedding(Module):
             "dtype": self._dtype_str,
             "auto_grow": self.auto_grow,
             "comm_dtype": self.comm_dtype,
+            "shard_rotation": self.shard_rotation,
         }
 
     @classmethod
@@ -969,6 +981,7 @@ class DistributedEmbedding(Module):
             dtype=np.dtype(config.get("dtype", "float32")),
             auto_grow=config.get("auto_grow", True),
             comm_dtype=config.get("comm_dtype"),
+            shard_rotation=config.get("shard_rotation", True),
         )
 
 

@@ -81,6 +81,7 @@ def preprocess_stack_native(
     valences = np.zeros(F, np.int64)
     vocabs = np.zeros(F, np.int64)
     offsets = np.zeros(F, np.int64)
+    rotations = np.zeros(F, np.int64)
     combiners = np.zeros(F, np.int32)
     id_ptrs = (ctypes.POINTER(ctypes.c_int64) * F)()
     w_ptrs = (ctypes.POINTER(ctypes.c_float) * F)()
@@ -111,6 +112,7 @@ def preprocess_stack_native(
         valences[i] = ids.shape[1]
         vocabs[i] = tspec.vocabulary_size
         offsets[i] = tspec.local_offset
+        rotations[i] = tspec.rotation
         combiners[i] = _COMBINER_CODES[tspec.combiner]
         id_ptrs[i] = ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
         w_ptrs[i] = (
@@ -137,6 +139,7 @@ def preprocess_stack_native(
         ptr(valences, ctypes.c_int64),
         ptr(vocabs, ctypes.c_int64),
         ptr(offsets, ctypes.c_int64),
+        ptr(rotations, ctypes.c_int64),
         ptr(combiners, ctypes.c_int32),
         ctypes.c_int64(B),
         ctypes.c_int64(D),

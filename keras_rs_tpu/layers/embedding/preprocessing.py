@@ -168,7 +168,7 @@ def preprocess_stack(
         d = b // Bl
         seg = (b % Bl) * F + fspec.feature_index
         all_d.append(d)
-        all_s.append(r % D)
+        all_s.append((r + tspec.rotation) % D)
         all_slot.append(tspec.local_offset + r // D)
         all_seg.append(seg)
         all_gain.append(g)

@@ -7,9 +7,15 @@ lookup/update kernels launch once per *stack* instead of once per table.
 
 Layout (for a mesh of D shards):
   * each table's vocabulary is padded up to a multiple of D;
-  * global row r of table t lives on shard `r % D` at local slot
-    `offset_t + r // D` (MOD sharding, parity with the reference's "MOD"
-    sharding strategy, jax/embedding_lookup.py:78-93);
+  * global row r of table t lives on shard `(r + rot_t) % D` at local
+    slot `offset_t + r // D` (rotated MOD sharding: parity with the
+    reference's "MOD" strategy, jax/embedding_lookup.py:78-93, plus the
+    per-table shard rotation of SparseCore table stacking — SURVEY §7
+    hard part (c). rot_t = the table's index within its stack, so the
+    hot low-id head rows of frequency-sorted vocabularies land on a
+    DIFFERENT shard per table instead of all piling onto shard 0 —
+    without rotation the per-shard unique-row/update load skews badly
+    on power-law data);
   * per-shard buffers from all tables in the stack are concatenated, plus
     one trailing "sink" row that absorbs padding-entry scatter traffic;
   * the stacked global array has shape [D * rows_per_shard, stack_dim]
@@ -48,6 +54,7 @@ class StackedTableSpec:
     padded_vocab: int  # multiple of num_shards
     local_offset: int  # first local slot of this table on every shard
     combiner: str
+    rotation: int = 0  # shard rotation: row r lives on (r + rotation) % D
 
 
 @dataclasses.dataclass(frozen=True)
@@ -149,6 +156,7 @@ def build_stacks(
     num_shards: int,
     *,
     stacking: str | Sequence[Sequence[str]] = "auto",
+    shard_rotation: bool = True,
 ) -> list[TableStack]:
     """Groups tables into stacks and computes the sharded layout.
 
@@ -158,6 +166,12 @@ def build_stacks(
       * "never": one stack per table;
       * explicit: list of lists of table names (unlisted tables get their
         own stack).
+
+    `shard_rotation`: rotate table t's rows by `t's index within its
+    stack` shards (SparseCore stacking parity) so the hot head rows of
+    stacked frequency-sorted vocabularies spread across shards instead
+    of all landing on shard 0. Off = plain MOD (the pre-rotation
+    layout; checkpoints are layout-specific across this switch).
     """
     # Collect unique tables (by identity, like the reference's shared-table
     # handling, base_distributed_embedding.py:827-938) with their features.
@@ -211,7 +225,7 @@ def build_stacks(
             )
         specs: list[StackedTableSpec] = []
         offset = 0
-        for t in group:
+        for ti, t in enumerate(group):
             padded = _round_up(t.vocabulary_size, num_shards)
             specs.append(
                 StackedTableSpec(
@@ -221,6 +235,7 @@ def build_stacks(
                     padded_vocab=padded,
                     local_offset=offset,
                     combiner=t.combiner,
+                    rotation=(ti % num_shards) if shard_rotation else 0,
                 )
             )
             offset += padded // num_shards
@@ -347,11 +362,14 @@ def init_stack_table(
                 jnp.arange(t.padded_vocab) < t.vocabulary_size
             ).astype(dtype)
             full = full * row_mask[:, None]
-        parts.append(
-            full.reshape(t.padded_vocab // D, D, stack.stack_dim).transpose(
-                1, 0, 2
-            )
-        )
+        part = full.reshape(
+            t.padded_vocab // D, D, stack.stack_dim
+        ).transpose(1, 0, 2)
+        if t.rotation:
+            # Rotated MOD: shard e holds rows l*D + (e - rot) % D, i.e.
+            # the unrotated shard axis rolled forward by rot.
+            part = jnp.roll(part, t.rotation, axis=0)
+        parts.append(part)
     # Trailing zero rows: dead padding (bitpacked parity pad + the
     # sink's dead pair partner) and the sink itself — everything past
     # the tables' local offsets.
@@ -387,7 +405,9 @@ def gather_table(
 
         arr = np.asarray(bitpack.unpack_rows(jnp.asarray(arr)))
     r = np.arange(t.vocabulary_size)
-    global_idx = (r % D) * stack.rows_per_shard + t.local_offset + r // D
+    global_idx = (
+        (r + t.rotation) % D
+    ) * stack.rows_per_shard + t.local_offset + r // D
     return arr[global_idx, : t.embedding_dim]
 
 
@@ -407,7 +427,9 @@ def scatter_table(
             f"{values.shape}."
         )
     r = np.arange(t.vocabulary_size)
-    global_idx = (r % D) * stack.rows_per_shard + t.local_offset + r // D
+    global_idx = (
+        (r + t.rotation) % D
+    ) * stack.rows_per_shard + t.local_offset + r // D
     out = np.array(stacked)
     if out.ndim == 3:  # packed: write the table row of each group
         out[global_idx, 0, : t.embedding_dim] = values

@@ -31,6 +31,7 @@ int coo_preprocess(
     const int64_t* valences,     // [F] L_f
     const int64_t* vocab_sizes,  // [F] table vocab of the feature
     const int64_t* local_offsets,// [F] table local slot offset
+    const int64_t* rotations,    // [F] table shard rotation
     const int32_t* combiners,    // [F] 0 = sum, 1 = mean, 2 = sqrtn
     // Stack configuration.
     int64_t B,     // global batch
@@ -70,6 +71,7 @@ int coo_preprocess(
       const int64_t L = valences[f];
       const int64_t vocab = vocab_sizes[f];
       const int64_t offset = local_offsets[f];
+      const int64_t rot = rotations[f];
       const int32_t combiner = combiners[f];
       const int64_t* fid = ids[f];
       const float* fw = weights[f];
@@ -79,7 +81,7 @@ int coo_preprocess(
         const int64_t r = fid[b * L + l];
         const float g = fw ? fw[b * L + l] : 1.0f;
         if (g == 0.0f || r < 0 || r >= vocab) continue;
-        const int64_t s = r % D;
+        const int64_t s = (r + rot) % D;  // rotated MOD sharding
         const int64_t bucket = d * D + s;
         const int64_t rank = counts[bucket]++;
         if (rank >= C) {

@@ -80,7 +80,11 @@ def test_segment_ids_are_sample_major():
                     f for f in stack.features if f.feature_index == fi
                 )
                 tspec = stack.table_spec(fspec.table_name)
-                rid = (slot - tspec.local_offset) * D + s
+                # Invert the rotated-MOD map: row r lives on shard
+                # (r + rot) % D at slot offset + r // D.
+                rid = (slot - tspec.local_offset) * D + (
+                    (s - tspec.rotation) % D
+                )
                 assert rid == inputs[fspec.name][b_global, 0]
 
 

@@ -197,9 +197,12 @@ def test_empty_shard_dedup_matches_host():
     B = stack.batch_size
     inputs = {}
     for f in stack.features:
-        vocab = stack.table_spec(f.table_name).vocabulary_size
+        t = stack.table_spec(f.table_name)
+        vocab = t.vocabulary_size
+        # ids with (id + rotation) % 2 == 0 -> shard 1 receives nothing
+        # (rotated MOD sharding: even ids for rotation 0, odd for 1).
         ids = (np.arange(B * 4).reshape(B, 4) * 2) % (vocab - vocab % 2)
-        inputs[f.name] = ids  # all EVEN ids -> shard 1 receives nothing
+        inputs[f.name] = ids + (t.rotation % 2)
     host, _ = preprocessing.preprocess_stack(
         stack, inputs, None, backend="numpy"
     )
