@@ -283,6 +283,67 @@ def main() -> None:
         "embedding_floor_frac": round(floor_frac, 3),
     }
 
+    # --- pipelined-embedding variant (BENCH_PIPELINE=1) ------------------
+    # SparseCore-style one-step-stale execution
+    # (training/pipelined.py): the prefetch gather for batch t+1 carries
+    # no data dependency on the dense stack, so XLA may overlap it (and
+    # its exchange collectives on multi-chip) with the dense matmuls.
+    # Same end-to-end dataflow as the main line: ONE in-step device COO
+    # preprocess per batch, shared by the prefetch and the scatter.
+    if os.environ.get("BENCH_PIPELINE", "0") == "1":
+        try:
+            import gc
+
+            import jax
+            import optax
+
+            from keras_rs_tpu import training
+            from keras_rs_tpu.models.dlrm import bce_loss
+
+            gc.collect()
+            _, _, raw_p, cfg_p, model_p = build(
+                "sharded", mesh, batch_size, vocab, dim
+            )
+            optimizer_p = optax.adagrad(cfg_p.learning_rate)
+            embed_fn, get_pre, inject = training.dlrm_pipeline_fns()
+            body = training.make_pipelined_train_step(
+                bce_loss,
+                optimizer_p,
+                embed_fn,
+                get_pre,
+                inject,
+                jit=False,
+            )
+
+            def step_p(state, raw):
+                # One device-COO preprocess per batch; its result feeds
+                # both this batch's scatter and (as the bench's stand-in
+                # for the next batch) the stale prefetch.
+                b = state.model.preprocess_on_device(raw)
+                return body(state, b, b["large_pre"])
+
+            first_pre = jax.jit(
+                lambda m, r: m.preprocess_on_device(r)["large_pre"]
+            )(model_p, raw_p)
+            state_p = training.create_pipelined_train_state(
+                model_p, optimizer_p, first_pre, embed_fn
+            )
+            del first_pre
+            run_p = make_scan_runner(step_p, iters)
+            _, state_p = time_block(run_p, state_p, raw_p, host_rt)
+            ts_p = []
+            for _ in range(blocks):
+                el, state_p = time_block(run_p, state_p, raw_p, host_rt)
+                ts_p.append(el)
+            del state_p
+            p_s = float(np.median(ts_p)) / iters
+            out.update(
+                pipelined_examples_per_sec=round(batch_size / p_s, 1),
+                pipelined_step_ms=round(p_s * 1e3, 3),
+            )
+        except Exception as e:  # noqa: BLE001 — report, don't die
+            out.update(pipelined_error=f"{type(e).__name__}: {e}"[:200])
+
     # --- flagship-valence variant (VERDICT r2 #2) ------------------------
     # The reference's MLPerf workload carries ~172 large-table ids per
     # example (26-table Criteo mix, feature_list_length up to 100 —

@@ -1,0 +1,203 @@
+"""Pipelined (one-step-stale) embedding execution: semantics + training.
+
+Parity target: the reference TF backend's
+`pipeline_execution_with_tensor_core` (tensorflow/distributed_embedding.py:
+49-50) — lookups overlap the dense compute and are one update old.
+Contract tested here:
+  * step 0 is bit-identical to the unpipelined step (activations primed
+    fresh);
+  * the activations consumed at step t+1 are gathered from the tables as
+    they were BEFORE step t's update;
+  * training still converges, embedding step counters advance, and the
+    step runs under lax.scan (static shapes, carry-threaded state).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from keras_rs_tpu import training
+from keras_rs_tpu.data import synthetic
+from keras_rs_tpu.models.dlrm import DLRMConfig, DLRMDCNv2, bce_loss
+from keras_rs_tpu.parallel import mesh as mesh_lib
+
+B = 64
+
+
+def make_model(seed=0):
+    cfg = DLRMConfig(
+        vocab_sizes=[5000, 100, 3000, 50],
+        multi_hot_sizes=[3, 1, 1, 2],
+        num_dense_features=13,
+        embedding_dim=16,
+        bottom_mlp=(32, 16),
+        top_mlp=(64, 16, 1),
+        num_dcn_layers=2,
+        dcn_projection_dim=8,
+        embedding_threshold=1000,
+        max_ids_per_partition=64,
+        max_unique_ids_per_partition=64,
+        learning_rate=0.01,
+        global_batch_size=B,
+        table_placement="sharded",
+    )
+    mesh = mesh_lib.create_mesh()
+    model = DLRMDCNv2(cfg, key=jax.random.key(seed), mesh=mesh)
+    return model, cfg, mesh
+
+
+def make_pre(model, cfg, seed=0):
+    raw = synthetic.criteo_like_batch(
+        B,
+        vocab_sizes=cfg.vocab_sizes,
+        multi_hot_sizes=cfg.multi_hot_sizes,
+        seed=seed,
+    )
+    return model.preprocess(raw)
+
+
+def leaves_allclose(a, b, atol=0.0):
+    la = jax.tree_util.tree_leaves(a)
+    lb = jax.tree_util.tree_leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_allclose(
+            np.asarray(x, dtype=np.float64),
+            np.asarray(y, dtype=np.float64),
+            atol=atol,
+            rtol=0.0,
+        )
+
+
+def test_step0_matches_unpipelined():
+    model, cfg, mesh = make_model()
+    embed_fn, get_pre, inject = training.dlrm_pipeline_fns()
+    batch0 = make_pre(model, cfg, seed=0)
+
+    normal = training.create_train_state(model, optax.adagrad(0.01))
+    nstep = training.make_train_step(
+        bce_loss, optax.adagrad(0.01), donate=False
+    )
+    normal, nloss = nstep(normal, batch0)
+
+    pstate = training.create_pipelined_train_state(
+        model, optax.adagrad(0.01), get_pre(batch0), embed_fn
+    )
+    pstep = training.make_pipelined_train_step(
+        bce_loss, optax.adagrad(0.01), embed_fn, get_pre, inject,
+        donate=False,
+    )
+    pstate, ploss = pstep(pstate, batch0, get_pre(batch0))
+
+    assert float(nloss) == float(ploss)
+    # Identical parameter state after step 0: staleness only starts at
+    # step 1 (the primed activations are fresh).
+    leaves_allclose(normal.model, pstate.model, atol=1e-6)
+
+
+def test_prefetched_acts_are_one_update_old():
+    model, cfg, mesh = make_model()
+    embed_fn, get_pre, inject = training.dlrm_pipeline_fns()
+    batch0 = make_pre(model, cfg, seed=0)
+    batch1 = make_pre(model, cfg, seed=1)
+
+    pstate = training.create_pipelined_train_state(
+        model, optax.adagrad(0.01), get_pre(batch0), embed_fn
+    )
+    pstep = training.make_pipelined_train_step(
+        bce_loss, optax.adagrad(0.01), embed_fn, get_pre, inject,
+        donate=False,
+    )
+    pstate, _ = pstep(pstate, batch0, get_pre(batch1))
+
+    # The prefetch for batch 1 must read the tables as they were BEFORE
+    # step 0's update — i.e. the initial model.
+    stale_oracle = jax.jit(lambda m, p: embed_fn(m, p))(
+        model, get_pre(batch1)
+    )
+    leaves_allclose(pstate.prefetched, stale_oracle, atol=1e-6)
+
+    # And it must differ from a fresh gather off the updated tables
+    # (touched rows moved).
+    fresh = jax.jit(lambda m, p: embed_fn(m, p))(
+        pstate.model, get_pre(batch1)
+    )
+    diffs = [
+        float(jnp.abs(a - b).max())
+        for a, b in zip(
+            jax.tree_util.tree_leaves(pstate.prefetched),
+            jax.tree_util.tree_leaves(fresh),
+        )
+    ]
+    assert max(diffs) > 0.0, diffs
+
+
+def test_pipelined_training_converges():
+    model, cfg, mesh = make_model()
+    embed_fn, get_pre, inject = training.dlrm_pipeline_fns()
+    batches = [make_pre(model, cfg, seed=i % 2) for i in range(10)]
+
+    pstate = training.create_pipelined_train_state(
+        model, optax.adagrad(0.01), get_pre(batches[0]), embed_fn
+    )
+    pstep = training.make_pipelined_train_step(
+        bce_loss, optax.adagrad(0.01), embed_fn, get_pre, inject,
+        donate=False,
+    )
+    losses = []
+    for t, batch in enumerate(batches):
+        nxt = batches[min(t + 1, len(batches) - 1)]
+        pstate, loss = pstep(pstate, batch, get_pre(nxt))
+        losses.append(float(loss))
+    assert losses[-2] < losses[0], losses
+    assert losses[-1] < losses[1], losses
+    emb = pstate.model.embedding_layer
+    for stack in emb.stacks:
+        assert float(emb.state.value[stack.name]["step"]) == len(batches)
+
+
+def test_pipelined_step_runs_under_scan():
+    model, cfg, mesh = make_model()
+    embed_fn, get_pre, inject = training.dlrm_pipeline_fns()
+    batches = [make_pre(model, cfg, seed=i % 2) for i in range(4)]
+
+    pstate = training.create_pipelined_train_state(
+        model, optax.adagrad(0.01), get_pre(batches[0]), embed_fn
+    )
+    body = training.make_pipelined_train_step(
+        bce_loss, optax.adagrad(0.01), embed_fn, get_pre, inject,
+        donate=False, jit=False,
+    )
+
+    # Reference: eager per-step loop.
+    ref_state, ref_losses = pstate, []
+    for t, batch in enumerate(batches):
+        nxt = batches[min(t + 1, len(batches) - 1)]
+        ref_state, loss = body(ref_state, batch, get_pre(nxt))
+        ref_losses.append(float(loss))
+
+    # Scan: stack the batches (and the shifted next-pre stream).
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *batches
+    )
+    nexts = [
+        get_pre(batches[min(t + 1, len(batches) - 1)])
+        for t in range(len(batches))
+    ]
+    stacked_next = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *nexts
+    )
+
+    def scan_body(carry, xs):
+        batch, nxt = xs
+        carry, loss = body(carry, batch, nxt)
+        return carry, loss
+
+    final, losses = jax.jit(
+        lambda s, xs: jax.lax.scan(scan_body, s, xs)
+    )(pstate, (stacked, stacked_next))
+    np.testing.assert_allclose(
+        np.asarray(losses), np.asarray(ref_losses), rtol=2e-5
+    )
+    leaves_allclose(final.model, ref_state.model, atol=1e-5)

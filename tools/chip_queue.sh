@@ -51,6 +51,10 @@ run bench_f32 3000 python bench.py
 #     the above-floor overhead is attributed, VERDICT r2 #1)
 run profile_emb 1800 python tools/profile_embedding.py --steps 10 --min-us 30
 
+# 1c. pipelined-embedding A/B (one-step-stale SparseCore semantics,
+#     training/pipelined.py): pipelined_step_ms vs step_ms on one chip.
+run bench_pipeline 2400 env BENCH_PIPELINE=1 BENCH_FLAGSHIP=0 python bench.py
+
 # 2. bf16 bitpacked bench
 run bench_bf16 2400 env BENCH_TABLE_DTYPE=bfloat16 BENCH_FLAGSHIP=0 python bench.py
 
