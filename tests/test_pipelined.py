@@ -25,7 +25,7 @@ from keras_rs_tpu.parallel import mesh as mesh_lib
 B = 64
 
 
-def make_model(seed=0):
+def make_model(seed=0, devices=None, max_ids=64):
     cfg = DLRMConfig(
         vocab_sizes=[5000, 100, 3000, 50],
         multi_hot_sizes=[3, 1, 1, 2],
@@ -36,13 +36,13 @@ def make_model(seed=0):
         num_dcn_layers=2,
         dcn_projection_dim=8,
         embedding_threshold=1000,
-        max_ids_per_partition=64,
-        max_unique_ids_per_partition=64,
+        max_ids_per_partition=max_ids,
+        max_unique_ids_per_partition=max_ids,
         learning_rate=0.01,
         global_batch_size=B,
         table_placement="sharded",
     )
-    mesh = mesh_lib.create_mesh()
+    mesh = mesh_lib.create_mesh(devices=devices)
     model = DLRMDCNv2(cfg, key=jax.random.key(seed), mesh=mesh)
     return model, cfg, mesh
 
@@ -155,6 +155,61 @@ def test_pipelined_training_converges():
     emb = pstate.model.embedding_layer
     for stack in emb.stacks:
         assert float(emb.state.value[stack.name]["step"]) == len(batches)
+
+
+def test_pipelined_cross_mesh_agreement():
+    """SPMD correctness: the pipelined step's losses and post-run state
+    must agree between a 1-device and the 8-device mesh (parity protocol
+    of dryrun_multichip; padded-vocab init differs per shard count, so
+    logical tables are transplanted)."""
+    rng = np.random.default_rng(7)
+    tables = {
+        "table_0": (rng.normal(size=(5000, 16)) * 0.05).astype(np.float32),
+        "table_2": (rng.normal(size=(3000, 16)) * 0.05).astype(np.float32),
+    }
+    raws = [
+        synthetic.criteo_like_batch(
+            B,
+            vocab_sizes=[5000, 100, 3000, 50],
+            multi_hot_sizes=[3, 1, 1, 2],
+            seed=100 + i,
+        )
+        for i in range(4)
+    ]
+
+    def run(devices):
+        # max_ids=512: a 1-device mesh funnels every id into one
+        # partition, so the 8-device capacity (64) would truncate there.
+        model, cfg, _ = make_model(devices=devices, max_ids=512)
+        model.embedding_layer.set_embedding_tables(tables)
+        embed_fn, get_pre, inject = training.dlrm_pipeline_fns()
+        batches = [model.preprocess(dict(r)) for r in raws]
+        pstate = training.create_pipelined_train_state(
+            model, optax.adagrad(0.01), get_pre(batches[0]), embed_fn
+        )
+        pstep = training.make_pipelined_train_step(
+            bce_loss, optax.adagrad(0.01), embed_fn, get_pre, inject,
+            donate=False,
+        )
+        losses = []
+        for t, batch in enumerate(batches):
+            nxt = batches[min(t + 1, len(batches) - 1)]
+            pstate, loss = pstep(pstate, batch, get_pre(nxt))
+            losses.append(float(loss))
+        kernel = np.asarray(pstate.model.top_mlp.layers[-1].kernel)
+        tabs = pstate.model.embedding_layer.get_embedding_tables()
+        return losses, kernel, tabs
+
+    losses1, kernel1, tabs1 = run(jax.devices()[:1])
+    losses8, kernel8, tabs8 = run(jax.devices())
+    np.testing.assert_allclose(losses1, losses8, rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(kernel1, kernel8, rtol=1e-4, atol=1e-5)
+    for name in tables:
+        np.testing.assert_allclose(
+            tabs1[name], tabs8[name], rtol=1e-4, atol=1e-5,
+            err_msg=f"{name}: pipelined post-run tables diverge across "
+            "meshes",
+        )
 
 
 def test_pipelined_step_runs_under_scan():
