@@ -61,6 +61,15 @@ class ExperimentConfig:
     #: work D-fold, so the default covers 4x skew and training logs the
     #: observed dropped_ids so residual truncation is visible.
     device_unique_factor: int = 4
+    #: One-step-stale pipelined embedding execution (the reference TF
+    #: backend's `pipeline_execution_with_tensor_core`,
+    #: tensorflow/distributed_embedding.py:49-50): the lookup for batch
+    #: t+1 is dataflow-independent of batch t's dense compute, so XLA
+    #: overlaps the gather + exchange collectives with the dense matmuls
+    #: at the cost of lookups being one update old. Checkpoints written
+    #: in this mode carry the prefetched activations and only resume
+    #: into pipelined runs.
+    pipeline_embedding: bool = False
     do_profile: bool = False
     #: After training, re-measure the train step under the scan-chained
     #: honest timing protocol (keras_rs_tpu/utils/timing.py) and report

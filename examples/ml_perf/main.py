@@ -154,13 +154,55 @@ def main(config_name: str = "smoke_test", **overrides) -> dict:
     )
 
     optimizer = optax.adagrad(cfg.learning_rate)
-    state = training.create_train_state(model, optimizer)
-    if cfg.device_preprocessing:
-        def loss_fn(m, b):
-            return bce_loss(m, m.preprocess_on_device(b))
+    pipelined = (
+        cfg.pipeline_embedding and model.embedding_layer is not None
+    )
+    next_batch = None
+    if pipelined:
+        # One-step-stale pipelined embedding execution (reference knob:
+        # pipeline_execution_with_tensor_core). The prefetch for batch
+        # t+1 reads the tables before update t, so it carries no data
+        # dependency on the dense stack and XLA can overlap the gather +
+        # exchange collectives with the dense matmuls.
+        if cfg.device_preprocessing:
+            def embed_fn(m, raw_large):
+                return m.embedding_layer(
+                    m.embedding_layer.preprocess_on_device(raw_large)
+                )
+
+            def p_get_pre(batch):
+                return {
+                    f"cat_{i}": batch[f"cat_{i}"]
+                    for i in model.large_idx
+                }
+
+            def inject(batch, acts):
+                return {**batch, "large_acts": acts}
+
+            # Large features arrive via the injected activations;
+            # small-table ids and dense floats are consumed raw by the
+            # model, so no per-step preprocessing remains.
+            p_loss = bce_loss
+        else:
+            embed_fn, p_get_pre, inject = training.dlrm_pipeline_fns()
+            p_loss = bce_loss
+        next_batch = next(loader)
+        state = training.create_pipelined_train_state(
+            model, optimizer, p_get_pre(next_batch), embed_fn
+        )
+        step_fn = training.make_pipelined_train_step(
+            p_loss, optimizer, embed_fn, p_get_pre, inject, donate=False
+        )
     else:
-        loss_fn = bce_loss
-    step_fn = training.make_train_step(loss_fn, optimizer, donate=False)
+        state = training.create_train_state(model, optimizer)
+        if cfg.device_preprocessing:
+            def loss_fn(m, b):
+                return bce_loss(m, m.preprocess_on_device(b))
+        else:
+            loss_fn = bce_loss
+        step_fn = training.make_train_step(
+            loss_fn, optimizer, donate=False
+        )
 
     ckpt = (
         training.CheckpointManager(cfg.checkpoint_dir)
@@ -260,8 +302,17 @@ def main(config_name: str = "smoke_test", **overrides) -> dict:
     for step in range(start_step, cfg.num_steps):
         if cfg.do_profile and step == 10:
             jax.profiler.start_trace(cfg.profile_dir)
-        batch = next(loader)
-        state, loss = step_fn(state, batch)
+        if pipelined:
+            # One-batch lookahead: the step prefetches batch t+1's
+            # activations. The final step feeds its own batch again (the
+            # prefetch is discarded).
+            batch = next_batch
+            if step + 1 < cfg.num_steps:
+                next_batch = next(loader)
+            state, loss = step_fn(state, batch, p_get_pre(next_batch))
+        else:
+            batch = next(loader)
+            state, loss = step_fn(state, batch)
         losses.append(loss)
         if step - start_step + 1 == warmup:
             # Exclude compilation from the throughput figure (the
@@ -322,8 +373,21 @@ def main(config_name: str = "smoke_test", **overrides) -> dict:
         # and returned, so training can continue from it.
         from keras_rs_tpu.utils.timing import measure_step_time
 
+        timed_step = step_fn
+        if pipelined:
+            # The scan runner chains `step(state, batch)` — feed the
+            # measured batch's own pre as the prefetch target (steady-
+            # state shape/work is identical to a real lookahead).
+            raw_p = training.make_pipelined_train_step(
+                p_loss, optimizer, embed_fn, p_get_pre, inject,
+                donate=False, jit=False,
+            )
+
+            def timed_step(s, b):
+                return raw_p(s, b, p_get_pre(b))
+
         s_per_step, state = measure_step_time(
-            step_fn, state, batch, iters=20, blocks=3
+            timed_step, state, batch, iters=20, blocks=3
         )
         device_step_ms = s_per_step * 1e3
         logger.info(
@@ -388,6 +452,12 @@ if __name__ == "__main__":
         help="evaluate every N steps and record an AUC curve",
     )
     parser.add_argument(
+        "--pipeline_embedding", action="store_true",
+        help="one-step-stale pipelined embedding execution (overlaps "
+        "the lookup+exchange with the dense compute; reference knob "
+        "pipeline_execution_with_tensor_core)",
+    )
+    parser.add_argument(
         "--honest_timing", action="store_true",
         help="measure the device step under the scan-chained protocol "
         "after training (tunnel-proof ms/step)",
@@ -406,6 +476,8 @@ if __name__ == "__main__":
         overrides["device_preprocessing"] = True
     if args.honest_timing:
         overrides["honest_timing"] = True
+    if args.pipeline_embedding:
+        overrides["pipeline_embedding"] = True
     if args.eval_every:
         overrides["eval_every"] = args.eval_every
     # Env overrides (documented in run.sh; convenient on --worker=all

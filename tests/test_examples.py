@@ -78,6 +78,23 @@ def test_ml_perf_smoke_device_preprocessing():
     assert "results" in r.stderr or "results" in r.stdout
 
 
+def test_ml_perf_smoke_pipeline_embedding():
+    """--pipeline_embedding (one-step-stale lookups) end to end, in both
+    preprocessing modes. Step semantics are proven in
+    tests/test_pipelined.py; this covers the flagship loop's lookahead
+    wiring + the mode's loss/inject plumbing."""
+    r = run_example(
+        "examples.ml_perf.main", "--config", "smoke_test",
+        "--pipeline_embedding",
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    r = run_example(
+        "examples.ml_perf.main", "--config", "smoke_test",
+        "--pipeline_embedding", "--device_preprocessing",
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+
+
 def test_ml_perf_tfrecord_train_and_val(tmp_path):
     """End-to-end ml_perf on real TFRecord files, incl. the validation
     eval branch (reference: configs/v6e_16_full_dataset.py:11-15)."""
