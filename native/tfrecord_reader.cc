@@ -138,11 +138,46 @@ int parse_feature(Slice feat, Out& out) {
   uint64_t vv;
   while (next_field(c, &field, &wire, &val, &vv)) {
     if (field == 1 && wire == 2) {  // BytesList
-      Cursor bl{val.p, val.p + val.len};
-      while (next_field(bl, &field, &wire, &val, &vv)) {
-        if (field == 1 && wire == 2) {
-          out.append(val.p, val.len);  // every element, concatenated
+      // Tight element loop. The wire stream is [0x0A][len][bytes]
+      // repeated (field 1, wire 2 is the only field BytesList defines);
+      // at the file-batched Criteo shape this runs ~26x per logical
+      // record and the generic next_field walk was 70% of the whole
+      // parse (gprof) — inlining the tag test + length varint here is
+      // a ~1.4x end-to-end parser speedup. Foreign fields fall back to
+      // the generic skip.
+      const uint8_t* q = val.p;
+      const uint8_t* qend = q + val.len;
+      while (q < qend) {
+        if (*q != 0x0A) {
+          Cursor el{q, qend};
+          uint32_t f2, w2;
+          Slice v2;
+          uint64_t vv2;
+          if (!next_field(el, &f2, &w2, &v2, &vv2)) break;
+          q = el.p;
+          continue;
         }
+        ++q;
+        uint64_t n = 0;
+        if (q < qend && !(*q & 0x80)) {
+          n = *q++;
+        } else {
+          int shift = 0;
+          bool ok = false;
+          while (q < qend && shift < 64) {
+            uint8_t b = *q++;
+            n |= static_cast<uint64_t>(b & 0x7F) << shift;
+            if (!(b & 0x80)) {
+              ok = true;
+              break;
+            }
+            shift += 7;
+          }
+          if (!ok) break;
+        }
+        if (static_cast<uint64_t>(qend - q) < n) break;
+        out.append(q, n);
+        q += n;
       }
       return 0;
     }

@@ -459,3 +459,44 @@ def test_parse_file_batched_copy_bytes(tmp_path):
         paths[1], ["raw"], copy_bytes=True
     )
     np.testing.assert_array_equal(arr_a, snap)
+
+
+def test_byteslist_foreign_field_skipped(tmp_path):
+    """The native BytesList tight loop must skip unknown fields between
+    elements (proto3 forward compatibility) exactly like the Python
+    parser: only field-1 elements' bytes are concatenated."""
+    import numpy as np
+
+    from keras_rs_tpu.data import native_io
+    from keras_rs_tpu.data.tfrecord import (
+        _len_delimited,
+        _parse_feature,
+        write_tfrecord,
+    )
+
+    if not native_io.available():
+        import pytest
+
+        pytest.skip("no C++ toolchain")
+
+    # BytesList: element, foreign varint field (2), element, foreign
+    # length-delimited field (3), element.
+    bl = (
+        _len_delimited(1, b"hello")
+        + b"\x10\x2a"  # field 2, wire 0, value 42
+        + _len_delimited(1, b"world")
+        + _len_delimited(3, b"junk")
+        + _len_delimited(1, b"!")
+    )
+    feature = _len_delimited(1, bl)
+    entry = _len_delimited(1, b"x") + _len_delimited(2, feature)
+    example = _len_delimited(1, _len_delimited(1, entry))
+    path = str(tmp_path / "foreign.tfrecord")
+    write_tfrecord(path, [example])
+
+    n, buf, offsets, kinds = native_io._parse_raw(path, ["x"])
+    assert n == 1 and kinds[0] == 0
+    got = bytes(buf[offsets[0] : offsets[1]])
+    assert got == b"helloworld!"
+    # Python parser agreement.
+    assert b"".join(_parse_feature(feature)) == b"helloworld!"
