@@ -109,6 +109,38 @@ _est_cache: dict[tuple, tuple[float, float]] = {}
 _tls = threading.local()
 
 
+_malloc_tuned = False
+
+
+def tune_malloc_for_large_columns() -> bool:
+    """Keep multi-10-MB column buffers on the reusable glibc heap.
+
+    `parse_file_fixed` hands out PRIVATE final arrays per file (they
+    escape into batches, so the thread-local pool can't serve them).
+    Above glibc's mmap threshold every such np.empty is a fresh mmap —
+    unmapped again on free — so the (GIL-released, 5 GB/s) native parse
+    pays a page-fault storm writing into it: measured 31% of loader
+    end-to-end time at Criteo shape (1.23M -> 1.64M ex/s/core without
+    it). mallopt(M_MMAP_THRESHOLD/M_TRIM_THRESHOLD, 1 GiB) makes those
+    buffers heap chunks that get REUSED across files; steady-state
+    retention is bounded by prefetch_depth x file column bytes. Opt out
+    with KRT_MALLOC_TUNING=0. Idempotent; returns True when applied."""
+    global _malloc_tuned
+    if _malloc_tuned:
+        return True
+    if os.environ.get("KRT_MALLOC_TUNING", "1") == "0":
+        return False
+    try:
+        libc = ctypes.CDLL(None)
+        m_trim, m_mmap = -1, -3  # glibc malloc.h constants
+        ok = libc.mallopt(ctypes.c_int(m_mmap), ctypes.c_int(1 << 30))
+        ok &= libc.mallopt(ctypes.c_int(m_trim), ctypes.c_int(1 << 30))
+        _malloc_tuned = bool(ok)
+    except Exception:
+        return False
+    return _malloc_tuned
+
+
 def fast_contig(col: np.ndarray) -> np.ndarray:
     """Contiguous copy of a row-strided 2-D view, avoiding the
     `np.ascontiguousarray` slow path.

@@ -252,7 +252,12 @@ struct MappedFile {
     }
     void* m = ::mmap(nullptr, size, PROT_READ, MAP_PRIVATE, fd, 0);
     if (m == MAP_FAILED) return;
-    ::madvise(m, size, MADV_SEQUENTIAL);
+    // WILLNEED (not SEQUENTIAL): kick off async readahead of the whole
+    // file so IO overlaps the parse, WITHOUT the reclaim-behind hint —
+    // SEQUENTIAL let the kernel drop pages behind the cursor, which
+    // turned repeated-epoch reads into intermittent disk re-reads
+    // (measured 5x epoch-time spikes on this ext4/virtio host).
+    ::madvise(m, size, MADV_WILLNEED);
     data = static_cast<const uint8_t*>(m);
     ok = true;
   }
