@@ -186,8 +186,75 @@ from keras_rs_tpu.utils.timing import (  # noqa: E402
 )
 
 
+def _chip_alive() -> bool:
+    """True if the default JAX platform can execute a tiny op.
+
+    Probed in a SUBPROCESS under a timeout: a wedged tunneled-TPU
+    backend enumerates devices fine but hangs every execution for
+    ~50 min (CLAUDE.md wedge model), and a hang inside this process
+    would keep the driver's bench run from ever printing its JSON
+    line. 256**3 = 16777216 is the expected matmul checksum.
+    """
+    import subprocess
+    import sys
+
+    # Probe the platform THIS process would use: under pytest/tools the
+    # CPU override lives in jax.config (in-process only), so it must be
+    # exported for the child — env vars at process start do work; only
+    # post-import os.environ writes are ignored (CLAUDE.md).
+    env = dict(os.environ)
+    try:
+        import jax
+
+        if jax.config.jax_platforms:
+            env["JAX_PLATFORMS"] = jax.config.jax_platforms
+    except Exception:  # noqa: BLE001 — fall back to the inherited env
+        pass
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "x = jnp.ones((256, 256));"
+        "print(float((x @ x).sum()))"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            # First tiny compile through the tunnel is ~20-40s idle but
+            # inflates ~4x when another TPU job is compiling on this
+            # 1-core host — 240s keeps the guard from crying wedge
+            # under mere load.
+            timeout=int(os.environ.get("KRT_PROBE_TIMEOUT", 240)),
+            capture_output=True,
+            text=True,
+            env=env,
+        )
+    except subprocess.TimeoutExpired:
+        return False
+    return r.returncode == 0 and "16777216" in r.stdout
+
+
 def main() -> None:
     from keras_rs_tpu.parallel import mesh as mesh_lib
+
+    if os.environ.get("BENCH_SKIP_PROBE", "0") != "1" and not _chip_alive():
+        # Emit an honest failure line rather than hanging until the
+        # driver's timeout kills us with no record at all. Last good
+        # on-chip numbers live in BENCH_r02.json / BASELINE.md.
+        print(
+            json.dumps(
+                {
+                    "metric": "dlrm_dcnv2_train_examples_per_sec",
+                    "value": 0,
+                    "unit": "examples/s",
+                    "vs_baseline": 0,
+                    "error": (
+                        "TPU tunnel wedged: devices enumerate but a tiny"
+                        " matmul probe did not complete in time; see"
+                        " BENCH_r02.json for the last verified numbers"
+                    ),
+                }
+            )
+        )
+        return
 
     batch_size = int(os.environ.get("BENCH_BATCH", 8192))
     vocab = int(os.environ.get("BENCH_VOCAB", 4_000_000))
