@@ -117,9 +117,14 @@ def build(
     return state, step, batch, cfg, model
 
 
-#: Measured chip ground truth behind the tunnel (BASELINE.md): bf16
-#: matmul peak and the descriptor-rate floors of the scattered-row path.
-PEAK_BF16_FLOPS = 145e12
+#: Chip ground truth behind the tunnel (BASELINE.md): bf16 matmul peak
+#: and the descriptor-rate floors of the scattered-row path.
+#: Peak = the v5e spec (197 TFLOPS bf16). An earlier in-repo matmul
+#: microbench gave 145e12, but the round-3 dense-only scan sustained
+#: 157.7e12 END TO END (BENCH 2026-08-18: dense_ms 0.768 at 1.21e11
+#: flops/step), which bounds the real peak above that measurement —
+#: the 145 figure was dispatch-confounded, not a hardware ceiling.
+PEAK_BF16_FLOPS = 197e12
 GATHER_ROWS_PER_S = 170e6  # XLA row gather, dim 128 (sorted==unsorted)
 BLOCK_GATHER_BYTES_PER_S = 550e9  # axis-0 [stride, dim] block gather:
 #   measured ~HBM byte speed (0.076 ms for 40960 x 1 KB blocks)

@@ -217,6 +217,18 @@ def main(config_name: str = "smoke_test", **overrides) -> dict:
         start_step = ckpt.latest_step()
         state = ckpt.restore(start_step, state)
         logger.info("resumed from checkpoint step %d", start_step)
+        if pipelined:
+            # The restored `prefetched` activations belong to whatever
+            # batch FOLLOWED the checkpoint in the original run; the
+            # resumed loop draws a fresh batch, so pairing them would
+            # train one step on mismatched (activations, labels).
+            # Re-prime fresh from the resumed lookahead batch — same
+            # step-0 semantics as a cold start.
+            state = state._replace(
+                prefetched=jax.jit(
+                    training.pipelined.prime, static_argnums=(2,)
+                )(state.model, p_get_pre(next_batch), embed_fn)
+            )
 
     dropped_fn = None
     if cfg.device_preprocessing and model.embedding_layer is not None:

@@ -224,3 +224,46 @@ def test_ml_perf_checkpoint_resume(tmp_path):
     )
     assert r2.returncode == 0, r2.stderr[-2000:]
     assert "resumed from checkpoint step 6" in (r2.stderr + r2.stdout)
+
+
+def test_ml_perf_checkpoint_resume_pipelined(tmp_path):
+    """Resume in --pipeline_embedding mode: the restored `prefetched`
+    activations belong to the ORIGINAL run's lookahead batch, so main()
+    must re-prime them from the resumed loader's batch (step-0 semantics)
+    instead of training one step on mismatched (activations, labels)."""
+    script = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "from examples.ml_perf.main import main\n"
+        f"main('smoke_test', num_steps=6, checkpoint_dir='{tmp_path}/ck',"
+        " checkpoint_every=3, pipeline_embedding=True)\n"
+    )
+    env = {
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+        "PATH": "/usr/bin:/bin:/usr/local/bin",
+        "PYTHONPATH": "/root/repo",
+    }
+    r1 = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True,
+        env=env, timeout=600,
+    )
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    script2 = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "from examples.ml_perf.main import main\n"
+        f"r = main('smoke_test', num_steps=9,"
+        f" checkpoint_dir='{tmp_path}/ck', checkpoint_every=3,"
+        " pipeline_embedding=True)\n"
+        "import math\n"
+        "assert math.isfinite(r['loss']), r\n"
+        "print('RESUME_OK')\n"
+    )
+    r2 = subprocess.run(
+        [sys.executable, "-c", script2], capture_output=True, text=True,
+        env=env, timeout=600,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "resumed from checkpoint step 6" in (r2.stderr + r2.stdout)
+    # The resumed run trains 3 further steps THROUGH the re-primed
+    # PipelinedTrainState (finite loss proves the step_fn consumed it).
+    assert "RESUME_OK" in r2.stdout
