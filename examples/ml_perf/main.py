@@ -217,13 +217,15 @@ def main(config_name: str = "smoke_test", **overrides) -> dict:
         start_step = ckpt.latest_step()
         state = ckpt.restore(start_step, state)
         logger.info("resumed from checkpoint step %d", start_step)
-        if pipelined:
+        if pipelined and start_step < cfg.num_steps:
             # The restored `prefetched` activations belong to whatever
             # batch FOLLOWED the checkpoint in the original run; the
             # resumed loop draws a fresh batch, so pairing them would
             # train one step on mismatched (activations, labels).
             # Re-prime fresh from the resumed lookahead batch — same
-            # step-0 semantics as a cold start.
+            # step-0 semantics as a cold start. (Skipped when no
+            # training steps will run: the re-prime would pay a wasted
+            # jitted lookup compile, ADVICE r3.)
             state = state._replace(
                 prefetched=jax.jit(
                     training.pipelined.prime, static_argnums=(2,)

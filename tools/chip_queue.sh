@@ -23,7 +23,10 @@ run() {
     return 0
   fi
   echo "=== $name (cap ${cap}s) start $(date +%T)" | tee -a "$OUT/queue.log"
-  timeout "$cap" "$@" > "$OUT/$name.log" 2>&1
+  # flock: mutual exclusion with the driver's bench.py run (it takes
+  # the same lock) — round 3's official BENCH JSON was corrupted by
+  # exactly this race (VERDICT r3 weak #1).
+  flock "${KRT_CHIP_LOCK:-/tmp/krt_chip.lock}" timeout "$cap" "$@" > "$OUT/$name.log" 2>&1
   local rc=$?
   echo "=== $name exit $rc end $(date +%T)" | tee -a "$OUT/queue.log"
   if [ "$rc" -eq 0 ]; then
@@ -45,7 +48,7 @@ run probe 300 python -c "import jax, jax.numpy as jnp; x=jnp.ones((512,512)); pr
 grep -q 134217728 "$OUT/probe.log" || { echo "CHIP STILL WEDGED"; exit 1; }
 
 # 1. main bench (f32 + flagship valence)
-run bench_f32 3000 python bench.py
+run bench_f32 3000 env BENCH_SKIP_PROBE=1 python bench.py
 
 # 1b. itemized embedding-path profile (names every fusion >= 30 us so
 #     the above-floor overhead is attributed, VERDICT r2 #1)
@@ -53,20 +56,20 @@ run profile_emb 1800 python tools/profile_embedding.py --steps 10 --min-us 30
 
 # 1c. pipelined-embedding A/B (one-step-stale SparseCore semantics,
 #     training/pipelined.py): pipelined_step_ms vs step_ms on one chip.
-run bench_pipeline 2400 env BENCH_PIPELINE=1 BENCH_FLAGSHIP=0 python bench.py
+run bench_pipeline 2400 env BENCH_SKIP_PROBE=1 BENCH_PIPELINE=1 BENCH_FLAGSHIP=0 python bench.py
 
 # 2. bf16 bitpacked bench
-run bench_bf16 2400 env BENCH_TABLE_DTYPE=bfloat16 BENCH_FLAGSHIP=0 python bench.py
+run bench_bf16 2400 env BENCH_SKIP_PROBE=1 BENCH_TABLE_DTYPE=bfloat16 BENCH_FLAGSHIP=0 python bench.py
 
 # 3. bf16 + rowwise_adagrad capacity mode
-run bench_bf16_rowwise 2400 env BENCH_TABLE_DTYPE=bfloat16 BENCH_EMB_OPTIMIZER=rowwise_adagrad BENCH_FLAGSHIP=0 python bench.py
+run bench_bf16_rowwise 2400 env BENCH_SKIP_PROBE=1 BENCH_TABLE_DTYPE=bfloat16 BENCH_EMB_OPTIMIZER=rowwise_adagrad BENCH_FLAGSHIP=0 python bench.py
 
 # 3b. dense-stack precision A/B (VERDICT r2 #8): f32-resident vs
 #     bf16-resident activations vs full f32, bench + flagship widths.
 run probe_dense 1800 python tools/probe_dense_mfu.py
 # 3c. end-to-end bench with the bf16-resident dense stack (adopt as
 #     default if it beats bench_f32's step_ms outside noise).
-run bench_bf16_dense 2400 env BENCH_DENSE_OUTPUT_DTYPE=bfloat16 BENCH_FLAGSHIP=0 python bench.py
+run bench_bf16_dense 2400 env BENCH_SKIP_PROBE=1 BENCH_DENSE_OUTPUT_DTYPE=bfloat16 BENCH_FLAGSHIP=0 python bench.py
 
 # 4. bitpack kernel validation + A/B
 run validate_bitpack 1200 python tools/validate_bitpack.py

@@ -33,6 +33,14 @@ record them in BASELINE.md and set the gates in ops/row_ops.py.
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(
+    0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)
+
+
 import time
 import traceback
 

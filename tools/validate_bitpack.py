@@ -17,6 +17,14 @@ stacking.build_stacks (bf16 + dim%128==0 + dim<=128).
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(
+    0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)
+
+
 import functools
 import time
 
