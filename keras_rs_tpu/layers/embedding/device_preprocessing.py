@@ -127,28 +127,62 @@ def preprocess_stack_device(
     gain = jnp.where(valid, gain, 0.0)
 
     # --- combiner divisors (per source device, per local segment) ----------
-    div_idx = jnp.where(valid, d * S_l + seg, D * S_l)
-    sum_g = jax.ops.segment_sum(gain, div_idx, num_segments=D * S_l + 1)
-    sum_g2 = jax.ops.segment_sum(
-        gain * gain, div_idx, num_segments=D * S_l + 1
+    # Static skip when every table uses the "sum" combiner (divisors are
+    # identically 1.0 and x / 1.0 is an IEEE identity): saves two
+    # N-entry segment-sums and an N-entry gather+divide per step — at
+    # flagship valence (1.4M entries/batch) this is real step time.
+    all_sum = all(
+        stack.table_spec(f.table_name).combiner == "sum"
+        for f in stack.features
     )
-    sum_g = sum_g[: D * S_l].reshape(D, S_l)
-    sum_g2 = sum_g2[: D * S_l].reshape(D, S_l)
-    code = combiner_code[None, :]
-    divisors = jnp.where(
-        code == 0,
-        1.0,
-        jnp.where(code == 1, sum_g, jnp.sqrt(sum_g2)),
-    )
-    divisors = jnp.where(divisors == 0, 1.0, divisors).astype(jnp.float32)
+    if all_sum:
+        divisors = jnp.ones((D, S_l), jnp.float32)
+    else:
+        div_idx = jnp.where(valid, d * S_l + seg, D * S_l)
+        sum_g = jax.ops.segment_sum(
+            gain, div_idx, num_segments=D * S_l + 1
+        )
+        sum_g2 = jax.ops.segment_sum(
+            gain * gain, div_idx, num_segments=D * S_l + 1
+        )
+        sum_g = sum_g[: D * S_l].reshape(D, S_l)
+        sum_g2 = sum_g2[: D * S_l].reshape(D, S_l)
+        code = combiner_code[None, :]
+        divisors = jnp.where(
+            code == 0,
+            1.0,
+            jnp.where(code == 1, sum_g, jnp.sqrt(sum_g2)),
+        )
+        divisors = jnp.where(divisors == 0, 1.0, divisors).astype(
+            jnp.float32
+        )
 
-    # --- bucket by (src device, dst shard); stable order by segment --------
-    # Matches the host path's np.lexsort((seg, s, d)) + original order for
-    # full ties (jax.lax.sort is stable).
+    # --- bucket by (src device, dst shard); SLOT-sorted within bucket ------
+    # Entry-order contract (shared by all three backends): bucket-major
+    # (d * D + s), slot-ascending within bucket, original order for full
+    # ties — the host path's np.lexsort((slot, s, d)). Slot-major order
+    # makes every shard's received entries a concatenation of
+    # slot-sorted runs, and at D = 1 FULLY slot-sorted: the backward
+    # dedup falls out of THIS sort by adjacency, where the old seg-major
+    # contract needed a second full N-entry stable sort per step (at
+    # flagship valence N = 1.4M — VERDICT r3 missing #1). Nothing
+    # requires seg order: the forward segment-sum is order-independent.
+    R_l = stack.rows_per_shard
     bucket = jnp.where(valid, d * D + s, D * D).astype(jnp.int32)
-    bucket_s, seg_s, slot_s, gain_s = jax.lax.sort(
-        (bucket, seg, slot, gain), num_keys=2, is_stable=True
-    )
+    if (D * D + 1) * R_l <= _INT_MAX:
+        # Fused i32 key (bucket * R_l + slot): a single-key sort moving
+        # 3 operands instead of a 2-key sort moving 4; bucket and slot
+        # are recovered from the sorted key by a constant divmod.
+        key = bucket * R_l + slot
+        key_s, seg_s, gain_s = jax.lax.sort(
+            (key, seg, gain), num_keys=1, is_stable=True
+        )
+        bucket_s = key_s // R_l
+        slot_s = key_s - bucket_s * R_l
+    else:  # i32 overflow guard (huge D * rows_per_shard): same order
+        bucket_s, slot_s, seg_s, gain_s = jax.lax.sort(
+            (bucket, slot, seg, gain), num_keys=2, is_stable=True
+        )
     # Bucket start offsets in the sorted order, from a counts cumsum
     # (searchsorted in jit lowers poorly on TPU — see CLAUDE.md).
     bucket_counts = jax.ops.segment_sum(
@@ -162,6 +196,7 @@ def preprocess_stack_device(
     ]
     within = (bucket_s < D * D) & (rank < C)
 
+    ok = None
     if D == 1:
         # Single-shard fast path: one bucket, and the sort put its valid
         # entries first — the "scatter" is a slice + mask (XLA int
@@ -204,9 +239,12 @@ def preprocess_stack_device(
     # Fold the combiner divisor into the gains (host-path parity: the
     # same elementwise gather+divide, so bit-identical inputs give
     # bit-identical folded gains). The lookup kernel never divides.
-    send_gains = send_gains / divisors[
-        jnp.arange(D, dtype=jnp.int32)[:, None, None], send_segs
-    ]
+    # All-sum stacks skip the fold entirely (divisors ≡ 1.0, an IEEE
+    # division identity — bit parity holds).
+    if not all_sum:
+        send_gains = send_gains / divisors[
+            jnp.arange(D, dtype=jnp.int32)[:, None, None], send_segs
+        ]
     # Globalize segment ids (src_device * S_l + seg) — host-path parity;
     # the lookup consumes these as flat segment-sum offsets.
     send_segs = send_segs + (
@@ -219,55 +257,93 @@ def preprocess_stack_device(
     dropped = jnp.sum(jnp.maximum(counts - C, 0))
 
     # --- per-shard dedup of received slots (for the backward pass) ---------
-    # Received layout on shard e: concat over sources d of bucket (d, e).
-    recv_slots = jnp.transpose(send_slots, (1, 0, 2)).reshape(D, D * C)
-    recv_gains = jnp.transpose(send_gains, (1, 0, 2)).reshape(D, D * C)
-    real = recv_gains != 0
+    if D == 1:
+        # The send order IS slot-ascending for in-bucket entries (the
+        # contract above), and the single shard receives exactly the
+        # send buffer: dedup is an adjacency scan over the ALREADY
+        # sorted slots — no second sort, and entry_unique needs no
+        # position scatter (entry order == sorted order).
+        m = min(N, C)
+        key_u = jnp.where(ok, slot_s[:m], _INT_MAX)
+        prev = jnp.concatenate(
+            [jnp.full((1,), -1, jnp.int32), key_u[:-1]]
+        )
+        new_unique = ok & (key_u != prev)
+        uidx = jnp.cumsum(new_unique, dtype=jnp.int32) - 1
+        max_unique = jnp.sum(new_unique)
 
-    key = jnp.where(real, recv_slots, _INT_MAX)
-    pos = jnp.broadcast_to(
-        jnp.arange(D * C, dtype=jnp.int32)[None, :], (D, D * C)
-    )
-    key_s, pos_s = jax.lax.sort(
-        (key, pos), num_keys=1, is_stable=True, dimension=1
-    )
-    real_s = key_s != _INT_MAX
-    prev = jnp.pad(key_s[:, :-1], ((0, 0), (1, 0)), constant_values=-1)
-    new_unique = real_s & (key_s != prev)
-    uidx = jnp.cumsum(new_unique, axis=1, dtype=jnp.int32) - 1
-    n_unique = jnp.sum(new_unique, axis=1)  # [D]
+        # unique_slots[u] = u-th distinct slot (ascending), sink padded;
+        # uniques beyond U-1 overflow to the sink slot.
+        u_flat = jnp.where(new_unique & (uidx < U - 1), uidx, U)
+        unique_slots = (
+            jnp.full((U,), sink, jnp.int32)
+            .at[u_flat]
+            .set(key_u, mode="drop")[None]
+        )
+        # Drop sentinel U for padding and unique-capacity overflow; the
+        # backward segment-sum discards out-of-range ids natively.
+        inv = jnp.where(ok & (uidx < U - 1), uidx, U)
+        if m < C:
+            inv = jnp.pad(inv, (0, C - m), constant_values=U)
+        entry_unique = inv.reshape(1, C)
+    else:
+        # Received layout on shard e: concat over sources d of bucket
+        # (d, e) — D slot-sorted runs, still merged by one stable sort.
+        recv_slots = jnp.transpose(send_slots, (1, 0, 2)).reshape(
+            D, D * C
+        )
+        recv_gains = jnp.transpose(send_gains, (1, 0, 2)).reshape(
+            D, D * C
+        )
+        real = recv_gains != 0
 
-    row = jnp.broadcast_to(
-        jnp.arange(D, dtype=jnp.int32)[:, None], (D, D * C)
-    )
-    # unique_slots[e, u] = u-th distinct slot (ascending), sink padded;
-    # uniques beyond U-1 overflow to the sink slot (host-path parity).
-    # Flat scatter index; dropped entries (duplicates, sink padding,
-    # overflow past U-1) go to the GLOBAL out-of-bounds index D*U — a
-    # per-row sentinel like row*U + U would land in the NEXT shard's
-    # unique_slots[row+1, 0].
-    u_flat = jnp.where(
-        new_unique & (uidx < U - 1), row * U + uidx, D * U
-    )
-    unique_slots = (
-        jnp.full((D * U,), sink, jnp.int32)
-        .at[u_flat.reshape(-1)]
-        .set(key_s.reshape(-1), mode="drop")
-        .reshape(D, U)
-    )
-    # Unique-overflow entries map to the drop sentinel U (one past the
-    # valid range; the backward segment-sum discards out-of-range ids),
-    # and padding entries keep the U default fill — host-path parity.
-    inv = jnp.where(uidx < U - 1, uidx, U)
-    e_write = jnp.where(real_s, row * (D * C) + pos_s, D * D * C)
-    entry_unique = (
-        jnp.full((D * D * C,), U, jnp.int32)
-        .at[e_write.reshape(-1)]
-        .set(inv.reshape(-1), mode="drop")
-        .reshape(D, D * C)
-    )
+        key = jnp.where(real, recv_slots, _INT_MAX)
+        pos = jnp.broadcast_to(
+            jnp.arange(D * C, dtype=jnp.int32)[None, :], (D, D * C)
+        )
+        key_s, pos_s = jax.lax.sort(
+            (key, pos), num_keys=1, is_stable=True, dimension=1
+        )
+        real_s = key_s != _INT_MAX
+        prev = jnp.pad(
+            key_s[:, :-1], ((0, 0), (1, 0)), constant_values=-1
+        )
+        new_unique = real_s & (key_s != prev)
+        uidx = jnp.cumsum(new_unique, axis=1, dtype=jnp.int32) - 1
+        n_unique = jnp.sum(new_unique, axis=1)  # [D]
 
-    max_unique = jnp.max(n_unique)
+        row = jnp.broadcast_to(
+            jnp.arange(D, dtype=jnp.int32)[:, None], (D, D * C)
+        )
+        # unique_slots[e, u] = u-th distinct slot (ascending), sink
+        # padded; uniques beyond U-1 overflow to the sink slot
+        # (host-path parity). Flat scatter index; dropped entries
+        # (duplicates, sink padding, overflow past U-1) go to the
+        # GLOBAL out-of-bounds index D*U — a per-row sentinel like
+        # row*U + U would land in the NEXT shard's unique_slots[row+1, 0].
+        u_flat = jnp.where(
+            new_unique & (uidx < U - 1), row * U + uidx, D * U
+        )
+        unique_slots = (
+            jnp.full((D * U,), sink, jnp.int32)
+            .at[u_flat.reshape(-1)]
+            .set(key_s.reshape(-1), mode="drop")
+            .reshape(D, U)
+        )
+        # Unique-overflow entries map to the drop sentinel U (one past
+        # the valid range; the backward segment-sum discards
+        # out-of-range ids natively), and padding entries keep the U
+        # default fill — host-path parity.
+        inv = jnp.where(uidx < U - 1, uidx, U)
+        e_write = jnp.where(real_s, row * (D * C) + pos_s, D * D * C)
+        entry_unique = (
+            jnp.full((D * D * C,), U, jnp.int32)
+            .at[e_write.reshape(-1)]
+            .set(inv.reshape(-1), mode="drop")
+            .reshape(D, D * C)
+        )
+
+        max_unique = jnp.max(n_unique)
     dropped_total = dropped + jnp.maximum(max_unique - (U - 1), 0)
 
     coo = {

@@ -193,7 +193,12 @@ def preprocess_stack(
     gain = np.concatenate(all_gain) if all_gain else np.zeros(0, np.float32)
 
     # --- bucket by (src device, dst shard), pad to capacity C -------------
-    order = np.lexsort((seg, s, d))
+    # Entry-order contract (all three backends): bucket-major, SLOT-
+    # ascending within bucket, original order for full ties. Slot-major
+    # order lets the device backend dedup by adjacency straight out of
+    # its bucket sort (no second N-entry sort at D=1); nothing needs
+    # seg order — the lookup's segment-sums are order-independent.
+    order = np.lexsort((slot, s, d))
     d, s, slot, seg, gain = (
         d[order], s[order], slot[order], seg[order], gain[order]
     )

@@ -12,13 +12,28 @@
 // Build: g++ -O3 -march=native -shared -fPIC -o libcoo_preprocess.so \
 //            coo_preprocess.cc
 //
-// Single pass over the entries; no allocations proportional to vocab.
+// Entry-order contract (shared with the numpy and device backends):
+// bucket-major (d * D + s), SLOT-ascending within bucket, original
+// numpy entry order — (feature, sample, l) — for full ties. The
+// feature-OUTER walk below reproduces numpy's tie order exactly
+// (numpy concatenates per-feature entry lists before its lexsort), and
+// the per-bucket stable sort by slot reproduces lexsort((slot, s, d)).
 
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <cmath>
 #include <vector>
+
+namespace {
+
+struct Entry {
+  int32_t slot;
+  int32_t seg;
+  float gain;
+};
+
+}  // namespace
 
 extern "C" {
 
@@ -52,46 +67,33 @@ int coo_preprocess(
     int64_t* stats) {
   const int64_t Bl = B / D;
   const int64_t S_l = num_features * Bl;
-
-  // Per-bucket cursors; bucket (d, s) index = d * D + s.
-  std::vector<int64_t> counts(static_cast<size_t>(D) * D, 0);
-  int64_t dropped = 0;
-
-  // --- bucket fill (encounter order == numpy lexsort(seg, s, d) order) ---
-  // Segment ids are SAMPLE-major: seg = (b % Bl) * F + f, so the lookup's
-  // activations reshape straight to [B, F, dim]. Within a bucket the numpy
-  // reference's lexsort therefore orders entries by (sample, feature,
-  // original l) — the loop nest below encounters them in exactly that
-  // order (sample outer, feature inner).
   const int64_t F = num_features;
-  for (int64_t b = 0; b < B; ++b) {
-    const int64_t d = b / Bl;
-    const int64_t base_seg = (b % Bl) * F;
-    for (int64_t f = 0; f < F; ++f) {
-      const int64_t L = valences[f];
-      const int64_t vocab = vocab_sizes[f];
-      const int64_t offset = local_offsets[f];
-      const int64_t rot = rotations[f];
-      const int32_t combiner = combiners[f];
-      const int64_t* fid = ids[f];
-      const float* fw = weights[f];
-      const int64_t seg = base_seg + f;
+
+  // --- collect entries per bucket; compute divisors -----------------------
+  // Feature-outer walk = numpy's pre-sort entry order (feature, sample,
+  // l), so per-bucket push order gives the stable-sort tie order below.
+  std::vector<std::vector<Entry>> buckets(static_cast<size_t>(D) * D);
+  int64_t dropped = 0;
+  for (int64_t f = 0; f < F; ++f) {
+    const int64_t L = valences[f];
+    const int64_t vocab = vocab_sizes[f];
+    const int64_t offset = local_offsets[f];
+    const int64_t rot = rotations[f];
+    const int32_t combiner = combiners[f];
+    const int64_t* fid = ids[f];
+    const float* fw = weights[f];
+    for (int64_t b = 0; b < B; ++b) {
+      const int64_t d = b / Bl;
+      const int64_t seg = (b % Bl) * F + f;
       float seg_accum = 0.0f;
       for (int64_t l = 0; l < L; ++l) {
         const int64_t r = fid[b * L + l];
         const float g = fw ? fw[b * L + l] : 1.0f;
         if (g == 0.0f || r < 0 || r >= vocab) continue;
         const int64_t s = (r + rot) % D;  // rotated MOD sharding
-        const int64_t bucket = d * D + s;
-        const int64_t rank = counts[bucket]++;
-        if (rank >= C) {
-          ++dropped;
-        } else {
-          const int64_t at = (d * D + s) * C + rank;
-          send_slots[at] = static_cast<int32_t>(offset + r / D);
-          send_segs[at] = static_cast<int32_t>(seg);
-          send_gains[at] = g;
-        }
+        buckets[d * D + s].push_back(
+            Entry{static_cast<int32_t>(offset + r / D),
+                  static_cast<int32_t>(seg), g});
         if (combiner == 1) {
           seg_accum += g;
         } else if (combiner == 2) {
@@ -106,16 +108,35 @@ int coo_preprocess(
     }
   }
 
+  // --- per-bucket stable sort by slot + capacity-C fill -------------------
   int64_t max_ids = 0;
-  for (const int64_t c : counts) max_ids = std::max(max_ids, c);
+  std::vector<int64_t> counts(static_cast<size_t>(D) * D, 0);
+  for (int64_t bk = 0; bk < D * D; ++bk) {
+    std::vector<Entry>& es = buckets[bk];
+    std::stable_sort(
+        es.begin(), es.end(),
+        [](const Entry& a, const Entry& b) { return a.slot < b.slot; });
+    const int64_t n = static_cast<int64_t>(es.size());
+    counts[bk] = n;
+    max_ids = std::max(max_ids, n);
+    const int64_t keep = std::min(n, C);
+    dropped += n - keep;
+    const int64_t base = bk * C;
+    for (int64_t i = 0; i < keep; ++i) {
+      send_slots[base + i] = es[i].slot;
+      send_segs[base + i] = es[i].seg;
+      send_gains[base + i] = es[i].gain;
+    }
+  }
 
   // --- per-shard dedup (sorted uniques, numpy.unique parity) -------------
+  // Received layout on shard e: concat over src d of bucket (d, e) — D
+  // slot-sorted runs; a sorted-copy dedup stays correct regardless.
   int64_t max_unique = 0;
   std::vector<int32_t> slots_buf;
   slots_buf.reserve(static_cast<size_t>(D) * C);
   for (int64_t e = 0; e < D; ++e) {
     slots_buf.clear();
-    // Received layout on shard e: concat over src d of bucket (d, e).
     for (int64_t d = 0; d < D; ++d) {
       const int64_t base = (d * D + e) * C;
       const int64_t n = std::min<int64_t>(counts[d * D + e], C);
@@ -133,11 +154,10 @@ int coo_preprocess(
       unique_slots[e * U + i] = uniq[i];
     }
     // entry -> unique index mapping for real entries.
-    int64_t entry = 0;
     for (int64_t d = 0; d < D; ++d) {
       const int64_t n = std::min<int64_t>(counts[d * D + e], C);
       const int64_t base = (d * D + e) * C;
-      for (int64_t c = 0; c < n; ++c, ++entry) {
+      for (int64_t c = 0; c < n; ++c) {
         const int32_t slot = send_slots[base + c];
         const int64_t pos =
             std::lower_bound(uniq.begin(), uniq.end(), slot) - uniq.begin();
