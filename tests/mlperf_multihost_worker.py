@@ -9,6 +9,7 @@ hosts, per-process data sharding, jitted hybrid train steps, eval — the
 multi-host launch pattern of the reference's run.sh (one process per
 host, jax.distributed coordination)."""
 
+import json
 import os
 import sys
 
@@ -19,10 +20,15 @@ def main() -> int:
     process_id = int(sys.argv[1])
     num_processes = int(sys.argv[2])
     port = sys.argv[3]
+    # Optional: devices per process (argv[4]) and JSON config overrides
+    # (argv[5]) — the 4-process test uses 2 devices each and a
+    # file-backed dataset to exercise per-host file sharding.
+    devices_per_process = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+    overrides = json.loads(sys.argv[5]) if len(sys.argv) > 5 else {}
 
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
-        + " --xla_force_host_platform_device_count=4"
+        + f" --xla_force_host_platform_device_count={devices_per_process}"
     ).strip()
     import jax
 
@@ -38,9 +44,12 @@ def main() -> int:
 
     results = mlperf_main(
         "smoke_test",
-        num_steps=5,
-        global_batch_size=256,
-        checkpoint_dir=None,
+        **{
+            "num_steps": 5,
+            "global_batch_size": 256,
+            "checkpoint_dir": None,
+            **overrides,
+        },
     )
     # Deterministic dummy data + jit over the global mesh: every process
     # computes the SAME global loss/AUC. Print for cross-process compare.
