@@ -386,23 +386,41 @@ def main() -> None:
         )
         return timed_blocks(step_dense, state_d, batch)
 
-    dense_s = measure_dense_only()
+    # BENCH_DENSE_REPEATS>1: repeat the dense-only scan in THIS session
+    # and report mean±std (VERDICT r3 #4: the round-3 cross-session
+    # spread was ±35%; a stable figure needs same-session repeats).
+    dense_repeats = int(os.environ.get("BENCH_DENSE_REPEATS", 1))
+    dense_samples = [measure_dense_only() for _ in range(dense_repeats)]
+    dense_s = float(np.median(dense_samples))
 
     flops = dense_flops_per_step(cfg, batch_size)
     mfu_dense = flops / dense_s / PEAK_BF16_FLOPS
     floor_ms = embedding_floor_ms(cfg, batch_size, mesh.devices.size)
 
-    naive, _, _ = measure("default_device")
+    # BENCH_SKIP_NAIVE=1 skips the ~6 GB naive-baseline build (e.g. the
+    # dense-stability stage, which only needs the dense samples).
+    if os.environ.get("BENCH_SKIP_NAIVE", "0") == "1":
+        naive = None
+    else:
+        naive, _, _ = measure("default_device")
 
     out = {
         "metric": "dlrm_dcnv2_train_examples_per_sec",
         "value": round(ours, 1),
         "unit": "examples/s",
-        "vs_baseline": round(ours / naive, 3),
+        "vs_baseline": round(ours / naive, 3) if naive else None,
         "step_ms": round(step_s * 1e3, 3),
         "dense_ms": round(dense_s * 1e3, 3),
         "embedding_floor_ms": round(floor_ms, 3),
     }
+    if dense_repeats > 1:
+        out.update(
+            dense_ms_samples=[
+                round(s * 1e3, 3) for s in dense_samples
+            ],
+            dense_ms_mean=round(float(np.mean(dense_samples)) * 1e3, 3),
+            dense_ms_std=round(float(np.std(dense_samples)) * 1e3, 3),
+        )
     # A measurement that can fail must SAY so (VERDICT r3 weak #1): a
     # dense-only scan slower than the full step, or an mfu above 1.0,
     # means the sub-measurement was corrupted (e.g. a concurrent TPU

@@ -454,6 +454,12 @@ if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", default="smoke_test")
     parser.add_argument("--num_steps", type=int, default=None)
+    parser.add_argument("--global_batch_size", type=int, default=None)
+    parser.add_argument(
+        "--dense_output_dtype", default=None,
+        help="e.g. bfloat16: bf16-resident dense activations "
+        "(params/accumulation stay f32)",
+    )
     parser.add_argument("--file_pattern", default=None)
     parser.add_argument("--val_file_pattern", default=None)
     parser.add_argument("--profile", action="store_true")
@@ -480,6 +486,10 @@ if __name__ == "__main__":
     overrides = {}
     if args.num_steps:
         overrides["num_steps"] = args.num_steps
+    if args.global_batch_size:
+        overrides["global_batch_size"] = args.global_batch_size
+    if args.dense_output_dtype:
+        overrides["dense_output_dtype"] = args.dense_output_dtype
     if args.file_pattern:
         overrides["file_pattern"] = args.file_pattern
     if args.val_file_pattern:
