@@ -1000,10 +1000,10 @@ class FrozenEmbedding(Module):
         layer: DistributedEmbedding,
         quantize: str | None = None,
     ) -> None:
-        if quantize not in (None, "int8"):
+        if quantize not in (None, "int8", "int8_packed"):
             raise ValueError(
-                f"Unsupported `quantize`: {quantize!r} (use None or "
-                "'int8')."
+                f"Unsupported `quantize`: {quantize!r} (use None, "
+                "'int8', or 'int8_packed')."
             )
         tables = {
             name: jnp.asarray(v)
@@ -1024,23 +1024,44 @@ class FrozenEmbedding(Module):
         # the same jax.Array, which costs no extra HBM); `tables` below
         # derives the export view so the pytree holds each buffer once
         # per feature, not once per feature plus once per table.
-        if quantize == "int8":
+        if quantize in ("int8", "int8_packed"):
             # Quantize each TABLE once; shared-table features reference
-            # the same (q, scale) arrays.
+            # the same (q, scale) arrays. "int8_packed" selects the
+            # group-packed word-typed gather layout (embed_reduce.py).
             from keras_rs_tpu.ops.quant import quantize_rows_int8
 
             qtables = {
                 name: quantize_rows_int8(v)
                 for name, v in tables.items()
             }
-            self._reducers = {
-                fc.name: QuantizedEmbedReduce(
-                    *qtables[self._feature_to_table[fc.name]],
-                    combiner=self._combiners[fc.name],
-                    name=fc.name,
-                )
-                for fc in self._feature_leaves
-            }
+            if quantize == "int8_packed":
+                from keras_rs_tpu.ops.quant import pack_rows_int8_groups
+
+                ptables = {
+                    name: (
+                        pack_rows_int8_groups(q),
+                        scale.reshape(-1),
+                        q.shape[0],
+                    )
+                    for name, (q, scale) in qtables.items()
+                }
+                self._reducers = {
+                    fc.name: QuantizedEmbedReduce._from_packed(
+                        *ptables[self._feature_to_table[fc.name]],
+                        combiner=self._combiners[fc.name],
+                        name=fc.name,
+                    )
+                    for fc in self._feature_leaves
+                }
+            else:
+                self._reducers = {
+                    fc.name: QuantizedEmbedReduce(
+                        *qtables[self._feature_to_table[fc.name]],
+                        combiner=self._combiners[fc.name],
+                        name=fc.name,
+                    )
+                    for fc in self._feature_leaves
+                }
         else:
             self._reducers = {
                 fc.name: EmbedReduce(

@@ -157,10 +157,13 @@ class EmbedReduce(Module):
         """Row fetch hook; subclasses override the storage format."""
         return jnp.take(self.embeddings, ids, axis=0)
 
-    def quantize_int8(self) -> "QuantizedEmbedReduce":
+    def quantize_int8(self, layout: str = "rows") -> "QuantizedEmbedReduce":
         """Int8 per-row-quantized inference copy (4x less HBM)."""
         return QuantizedEmbedReduce.from_table(
-            self.embeddings, combiner=self.combiner, name=self.name
+            self.embeddings,
+            combiner=self.combiner,
+            name=self.name,
+            layout=layout,
         )
 
     def get_config(self) -> dict[str, Any]:
@@ -194,11 +197,19 @@ class QuantizedEmbedReduce(EmbedReduce):
     `DistributedEmbedding.freeze(quantize="int8")`.
 
     Combiner semantics are inherited unchanged; only the row fetch
-    differs (int8 gather + scale gather + dequantized multiply, which
-    XLA fuses into the downstream combiner).
+    differs by `layout`:
+
+      * "rows" (default): int8 [R, dim] gather + [R, 1] scale gather +
+        dequant multiply.
+      * "packed": 4 consecutive rows bitcast into one int32 [R/4, dim]
+        group row (ops/quant.py pack_rows_int8_groups) — ONE word-typed
+        gather at the f32 descriptor rate (int8-typed rows pay the
+        sub-32-bit gather penalty BASELINE.md documents) + an integer
+        in-register select + a 1-D scale gather. Bit-identical outputs
+        to "rows" (tools/probe_int8_serving.py measures both on chip).
     """
 
-    non_trainable_fields = ("q", "scale")
+    non_trainable_fields = ("q", "scale", "qp")
 
     def __init__(
         self,
@@ -207,11 +218,16 @@ class QuantizedEmbedReduce(EmbedReduce):
         *,
         combiner: str = "mean",
         name: str | None = None,
+        layout: str = "rows",
     ) -> None:
         if combiner not in SUPPORTED_COMBINERS:
             raise ValueError(
                 f"Invalid `combiner`: '{combiner}', use one of "
                 f"{', '.join(SUPPORTED_COMBINERS)}."
+            )
+        if layout not in ("rows", "packed"):
+            raise ValueError(
+                f"Invalid `layout`: {layout!r} (use 'rows' or 'packed')."
             )
         q = jnp.asarray(q)
         scale = jnp.asarray(scale, jnp.float32)
@@ -223,8 +239,15 @@ class QuantizedEmbedReduce(EmbedReduce):
             raise ValueError(
                 f"`scale` must be [vocab, 1], got {scale.shape}."
             )
-        self.q = q
-        self.scale = scale
+        self.layout = layout
+        if layout == "packed":
+            from keras_rs_tpu.ops.quant import pack_rows_int8_groups
+
+            self.qp = pack_rows_int8_groups(q)
+            self.scale = scale.reshape(-1)  # 1-D [R]
+        else:
+            self.q = q
+            self.scale = scale
         self.input_dim = int(q.shape[0])
         self.output_dim = int(q.shape[1])
         self.combiner = combiner
@@ -233,27 +256,63 @@ class QuantizedEmbedReduce(EmbedReduce):
         self.name = name or "quantized_embed_reduce"
 
     @classmethod
+    def _from_packed(
+        cls,
+        qp: Tensor,
+        scale1d: Tensor,
+        rows: int,
+        *,
+        combiner: str = "mean",
+        name: str | None = None,
+    ) -> "QuantizedEmbedReduce":
+        """Wraps an ALREADY group-packed table (no repacking): shared-
+        table features must reference the same qp/scale jax.Arrays or
+        each feature would carry its own copy in HBM."""
+        self = cls.__new__(cls)
+        self.layout = "packed"
+        self.qp = qp
+        self.scale = scale1d
+        self.input_dim = int(rows)
+        self.output_dim = int(qp.shape[1])
+        self.combiner = combiner
+        self.embeddings_regularizer = None
+        self._regularizers = {}
+        self.name = name or "quantized_embed_reduce"
+        return self
+
+    @classmethod
     def from_table(
         cls,
         table: Tensor,
         *,
         combiner: str = "mean",
         name: str | None = None,
+        layout: str = "rows",
     ) -> "QuantizedEmbedReduce":
         from keras_rs_tpu.ops.quant import quantize_rows_int8
 
         q, scale = quantize_rows_int8(table)
-        return cls(q, scale, combiner=combiner, name=name)
+        return cls(q, scale, combiner=combiner, name=name, layout=layout)
 
     @property
     def embeddings(self) -> Tensor:
         """Dequantized [vocab, dim] f32 view (export/debug only —
         materializes the full table; the hot path never calls it)."""
-        from keras_rs_tpu.ops.quant import dequantize_rows
+        from keras_rs_tpu.ops.quant import (
+            dequantize_rows,
+            unpack_rows_int8_groups,
+        )
 
+        if self.layout == "packed":
+            q = unpack_rows_int8_groups(self.qp, self.input_dim)
+            return dequantize_rows(q, self.scale[:, None])
         return dequantize_rows(self.q, self.scale)
 
     def _lookup(self, ids: Tensor) -> Tensor:
+        if self.layout == "packed":
+            from keras_rs_tpu.ops.quant import take_rows_int8_packed
+
+            return take_rows_int8_packed(self.qp, self.scale, ids)
         rows = jnp.take(self.q, ids, axis=0).astype(jnp.float32)
         scales = jnp.take(self.scale, ids, axis=0)
         return rows * scales
@@ -264,6 +323,7 @@ class QuantizedEmbedReduce(EmbedReduce):
             "output_dim": self.output_dim,
             "combiner": self.combiner,
             "name": self.name,
+            "layout": self.layout,
         }
 
     @classmethod

@@ -54,6 +54,70 @@ def dequantize_rows(q: Tensor, scale: Tensor) -> Tensor:
     return q.astype(jnp.float32) * scale
 
 
+def pack_rows_int8_groups(q: Tensor) -> Tensor:
+    """int8 [R, dim] -> int32 [ceil(R/4), dim]: 4 consecutive rows per
+    packed row.
+
+    The serving-lookup layout motivated by the int8 gather penalty
+    (BASELINE.md: sub-32-bit rows gather SLOWER per row than f32): the
+    packed table keeps a full 128-lane int32 minor dimension (no TPU
+    tile-padding waste — exactly 1 byte/element amortized), and a row
+    fetch becomes ONE word-typed gather of the 4-row group at the f32
+    descriptor rate followed by an in-register integer select
+    (`take_rows_int8_packed`). dim must be a multiple of 4; R is padded
+    to a multiple of 4 with zero rows.
+    """
+    q = jnp.asarray(q)
+    if q.dtype != jnp.int8 or q.ndim != 2 or q.shape[1] % 4:
+        raise ValueError(
+            f"expected int8 [R, dim % 4 == 0], got {q.dtype} {q.shape}"
+        )
+    R, dim = q.shape
+    pad = (-R) % 4
+    if pad:
+        q = jnp.pad(q, ((0, pad), (0, 0)))
+    # Group row g = rows 4g..4g+3 byte-concatenated; little-endian word
+    # packing matches numpy's .view(int32) on this platform and is
+    # self-inverse with `unpack_rows_int8_groups` on any platform.
+    return jax.lax.bitcast_convert_type(
+        q.reshape((R + pad) // 4, dim, 4), jnp.int32
+    )
+
+
+def unpack_rows_int8_groups(packed: Tensor, rows: int) -> Tensor:
+    """Inverse of `pack_rows_int8_groups` (drops the padding rows)."""
+    g, dim = packed.shape
+    q = jax.lax.bitcast_convert_type(packed, jnp.int8).reshape(
+        g * 4, dim
+    )
+    return q[:rows]
+
+
+def take_rows_int8_packed(
+    packed: Tensor, scale: Tensor, ids: Tensor
+) -> Tensor:
+    """Dequantized f32 rows from the group-packed layout.
+
+    `packed` int32 [ceil(R/4), dim] (pack_rows_int8_groups), `scale`
+    f32 [R] (1-D: avoids both a second row-descriptor per id and the
+    [R, 1] tile-padding), `ids` any integer shape; returns
+    f32 ids.shape + (dim,). The group select is INTEGER arithmetic —
+    arbitrary bit patterns viewed as floats could be NaN and poison a
+    float one-hot multiply.
+    """
+    dim = packed.shape[1]
+    flat = ids.reshape(-1)
+    words = jnp.take(packed, flat // 4, axis=0)  # [N, dim] int32
+    grp = words.reshape(-1, 4, dim // 4)
+    sel = (flat % 4)[:, None, None] == jnp.arange(4)[None, :, None]
+    row_words = jnp.sum(jnp.where(sel, grp, 0), axis=1)
+    rows = jax.lax.bitcast_convert_type(row_words, jnp.int8).reshape(
+        -1, dim
+    )
+    out = rows.astype(jnp.float32) * jnp.take(scale, flat)[:, None]
+    return out.reshape(tuple(ids.shape) + (dim,))
+
+
 def cast_rows_for_storage(
     x: Tensor, dtype: jnp.dtype, key: jax.Array | None
 ) -> Tensor:

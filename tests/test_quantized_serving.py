@@ -198,3 +198,85 @@ def test_quantized_embed_reduce_config_roundtrip():
     # restore (jax.tree_util-compatible with the original).
     assert q2.q.shape == q.q.shape and q2.q.dtype == jnp.int8
     assert q2.scale.shape == q.scale.shape
+
+
+def test_packed_layout_bit_identical_to_rows():
+    """The group-packed word-typed layout (round-4, VERDICT r3 #8) must
+    produce bit-identical lookups to the 'rows' layout, including at
+    R % 4 != 0 (zero-row padding) and multi-dim ids."""
+    rng = np.random.default_rng(3)
+    for R in (101, 64):
+        table = rng.normal(size=(R, 16)).astype(np.float32)
+        ids2d = rng.integers(0, R, size=(8, 5))
+        w2d = rng.random((8, 5)).astype(np.float32)
+        ids1d = rng.integers(0, R, size=(32,))
+        for combiner in ("mean", "sum", "sqrtn"):
+            er = EmbedReduce(R, 16, table=table, combiner=combiner)
+            q_rows = er.quantize_int8()
+            q_packed = er.quantize_int8(layout="packed")
+            assert q_packed.layout == "packed"
+            # 1 byte/element + 4 B/row scale, padded to a 4-row group.
+            assert q_packed.qp.dtype == jnp.int32
+            assert q_packed.qp.shape == ((R + 3) // 4, 16)
+            for args in [(ids2d, w2d), (ids2d, None), (ids1d, None)]:
+                want = np.asarray(q_rows(*args))
+                got = np.asarray(q_packed(*args))
+                np.testing.assert_array_equal(got, want)
+            # Export view identical too.
+            np.testing.assert_array_equal(
+                np.asarray(q_packed.embeddings),
+                np.asarray(q_rows.embeddings),
+            )
+
+
+def test_packed_layout_config_roundtrip_and_pytree():
+    rng = np.random.default_rng(4)
+    table = rng.normal(size=(37, 8)).astype(np.float32)
+    qer = QuantizedEmbedReduce.from_table(table, layout="packed")
+    cfg = qer.get_config()
+    assert cfg["layout"] == "packed"
+    rebuilt = QuantizedEmbedReduce.from_config(cfg)
+    assert rebuilt.layout == "packed"
+    assert rebuilt.qp.shape == qer.qp.shape
+    assert rebuilt.scale.shape == qer.scale.shape
+    # Pytree leaves transplant (checkpoint restore pattern).
+    leaves, treedef = jax.tree_util.tree_flatten(qer)
+    restored = jax.tree_util.tree_unflatten(treedef, leaves)
+    ids = rng.integers(0, 37, size=(16,))
+    np.testing.assert_array_equal(
+        np.asarray(restored(ids)), np.asarray(qer(ids))
+    )
+
+
+def test_freeze_int8_packed_matches_int8():
+    table_a = TableConfig(
+        name="ta", vocabulary_size=50, embedding_dim=8, combiner="mean"
+    )
+    feats = {
+        "f1": FeatureConfig(
+            name="f1", table=table_a,
+            input_shape=(8, 3), output_shape=(8, 8),
+        ),
+        # Shared table: both features must reference the SAME packed
+        # arrays (no per-feature HBM copy).
+        "f2": FeatureConfig(
+            name="f2", table=table_a,
+            input_shape=(8,), output_shape=(8, 8),
+        ),
+    }
+    layer = DistributedEmbedding(feats, key=jax.random.key(0))
+    rng = np.random.default_rng(5)
+    inputs = {
+        "f1": rng.integers(0, 50, size=(8, 3)),
+        "f2": rng.integers(0, 50, size=(8,)),
+    }
+    frozen8 = layer.freeze(quantize="int8")
+    frozenp = layer.freeze(quantize="int8_packed")
+    out8 = frozen8(inputs)
+    outp = frozenp(inputs)
+    for k in out8:
+        np.testing.assert_array_equal(
+            np.asarray(outp[k]), np.asarray(out8[k])
+        )
+    rp = frozenp._reducers
+    assert rp["f1"].qp is rp["f2"].qp, "shared table was re-packed"

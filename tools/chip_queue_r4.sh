@@ -56,6 +56,9 @@ run dense_stability 2400 env BENCH_SKIP_PROBE=1 BENCH_DENSE_REPEATS=5 BENCH_FLAG
 #    closes the 1.5-3.4x gap.
 run int8_probe 1800 python tools/probe_int8_serving.py --json /tmp/chip_r4/int8_probe.json
 
+# 5b. End-to-end serving latencies incl. the new int8_packed layout.
+run serving 2400 python tools/serving_latency.py
+
 # 6. Capacity modes with the new preprocessing.
 run bench_bf16 3000 env BENCH_SKIP_PROBE=1 BENCH_TABLE_DTYPE=bfloat16 BENCH_FLAGSHIP=0 python bench.py
 run bench_bf16_rowwise 3000 env BENCH_SKIP_PROBE=1 BENCH_TABLE_DTYPE=bfloat16 BENCH_EMB_OPTIMIZER=rowwise_adagrad BENCH_DENSE_OUTPUT_DTYPE=bfloat16 BENCH_FLAGSHIP=0 python bench.py

@@ -150,7 +150,19 @@ def bench_dlrm_inference(small=False):
         q_bytes = _unique_bytes(frozen_q)
         print(f"[dlrm-infer-int8] B={B}: {ms_q:.3f} ms/batch "
               f"({B / ms_q * 1e3:,.0f} ex/s, tables {q_bytes/1e6:.0f} MB)")
-        del model, frozen, frozen_q
+        del frozen_q
+
+        # Group-packed int8 (round-4, VERDICT r3 #8): word-typed gather
+        # layout — same bytes as int8, expected to close the dequant
+        # latency gap (tools/probe_int8_serving.py isolates the why).
+        frozen_p = model.embedding_layer.freeze(quantize="int8_packed")
+        ms_p = honest_ms(
+            forward, (model, frozen_p, batch), perturb, derive, iters=30
+        )
+        p_bytes = _unique_bytes(frozen_p)
+        print(f"[dlrm-infer-int8-packed] B={B}: {ms_p:.3f} ms/batch "
+              f"({B / ms_p * 1e3:,.0f} ex/s, tables {p_bytes/1e6:.0f} MB)")
+        del model, frozen, frozen_p
 
 
 def bench_retrieval_service(small=False):
