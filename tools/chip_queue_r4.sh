@@ -59,6 +59,10 @@ run int8_probe 1800 python tools/probe_int8_serving.py --json /tmp/chip_r4/int8_
 # 5b. End-to-end serving latencies incl. the new int8_packed layout.
 run serving 2400 python tools/serving_latency.py
 
+# 5c. Scatter cost-model sweep (descriptor- vs byte-bound + DMA depth):
+#     recalibrates SCATTER_DESC_PER_S / the flagship floor.
+run scatter_sweep 2400 python tools/probe_scatter_sweep.py
+
 # 6. Capacity modes with the new preprocessing.
 run bench_bf16 3000 env BENCH_SKIP_PROBE=1 BENCH_TABLE_DTYPE=bfloat16 BENCH_FLAGSHIP=0 python bench.py
 run bench_bf16_rowwise 3000 env BENCH_SKIP_PROBE=1 BENCH_TABLE_DTYPE=bfloat16 BENCH_EMB_OPTIMIZER=rowwise_adagrad BENCH_DENSE_OUTPUT_DTYPE=bfloat16 BENCH_FLAGSHIP=0 python bench.py
