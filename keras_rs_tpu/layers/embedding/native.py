@@ -52,6 +52,17 @@ def get_lib() -> ctypes.CDLL | None:
             return None
         lib.coo_preprocess.restype = ctypes.c_int
         _lib = lib
+        # At flagship valence the per-batch output buffers are >5 MB
+        # each: without the mallopt tuning every np.full below is a
+        # fresh mmap whose page-fault storm runs at 0.02-0.1 GB/s on
+        # this class of VM (same pathology as the file loader's column
+        # arrays — data/native_io.py). Idempotent, KRT_MALLOC_TUNING=0
+        # opts out.
+        from keras_rs_tpu.data.native_io import (
+            tune_malloc_for_large_columns,
+        )
+
+        tune_malloc_for_large_columns()
         return _lib
 
 

@@ -252,7 +252,18 @@ def preprocess_stack(
         recv_slots = send_slots[:, e, :].reshape(-1)  # [D*C]
         recv_gains = send_gains[:, e, :].reshape(-1)
         real = recv_gains != 0
-        uniq, inv = np.unique(recv_slots[real], return_inverse=True)
+        vals = recv_slots[real]
+        if D == 1 and len(vals):
+            # Already slot-sorted (the entry-order contract): adjacency
+            # dedup — np.unique would re-sort 1.4M entries per batch at
+            # flagship valence.
+            new_u = np.empty(len(vals), bool)
+            new_u[0] = True
+            np.not_equal(vals[1:], vals[:-1], out=new_u[1:])
+            uniq = vals[new_u]
+            inv = np.cumsum(new_u) - 1
+        else:
+            uniq, inv = np.unique(vals, return_inverse=True)
         max_unique = max(max_unique, len(uniq))
         n = min(len(uniq), U - 1)  # last unique slot is the sink
         unique_slots[e, :n] = uniq[:n]

@@ -132,7 +132,31 @@ int coo_preprocess(
   // --- per-shard dedup (sorted uniques, numpy.unique parity) -------------
   // Received layout on shard e: concat over src d of bucket (d, e) — D
   // slot-sorted runs; a sorted-copy dedup stays correct regardless.
+  // D == 1 dedups in ONE adjacency walk over the already slot-sorted
+  // bucket — no sort, no per-entry binary search (the old lower_bound
+  // loop cost ~2.8 s/batch of cache misses at flagship valence: 1.4M
+  // entries searched over a ~1.25M-unique array). D > 1 keeps the
+  // sorted-copy + lower_bound path (per-shard runs are C-bounded).
   int64_t max_unique = 0;
+  if (D == 1) {
+    const int64_t n = std::min<int64_t>(counts[0], C);
+    int64_t u = -1;
+    int32_t prev = 0;
+    for (int64_t c = 0; c < n; ++c) {
+      const int32_t slot = send_slots[c];
+      if (u < 0 || slot != prev) {
+        ++u;
+        prev = slot;
+        if (u < U - 1) unique_slots[u] = slot;
+      }
+      entry_unique[c] = static_cast<int32_t>(u < U - 1 ? u : U);
+    }
+    max_unique = u + 1;
+    stats[0] = max_ids;
+    stats[1] = max_unique;
+    stats[2] = dropped + std::max<int64_t>(0, max_unique - (U - 1));
+    return 0;
+  }
   std::vector<int32_t> slots_buf;
   slots_buf.reserve(static_cast<size_t>(D) * C);
   for (int64_t e = 0; e < D; ++e) {
