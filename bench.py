@@ -219,9 +219,11 @@ def _chip_alive() -> bool:
         "x = jnp.ones((256, 256));"
         "print(float((x @ x).sum()))"
     )
-    # One timed-out probe must not permanently record value=0 for the
-    # round (ADVICE r3): a single retry distinguishes "compile inflated
-    # under load" from a genuinely wedged tunnel.
+    # One FAST failure (nonzero exit, bad output) retries once
+    # (ADVICE r3: a transient must not record value=0 for the round).
+    # A TIMED-OUT probe does NOT retry: killing it was itself a
+    # mid-TPU-op kill, and an immediate second probe is another one
+    # that restarts the ~50-min wedge clock (CLAUDE.md wedge lesson).
     for attempt in range(2):
         try:
             r = subprocess.run(
@@ -236,7 +238,7 @@ def _chip_alive() -> bool:
                 env=env,
             )
         except subprocess.TimeoutExpired:
-            continue
+            return False
         if r.returncode == 0 and "16777216" in r.stdout:
             return True
     return False
@@ -254,6 +256,15 @@ def _acquire_chip_lock():
     """
     import fcntl
     import time
+
+    # Under chip_queue_r4.sh the stage already runs INSIDE `flock` on
+    # this file; flock(2) denies a second lock taken via a fresh fd
+    # even in a child process, so re-acquiring here would self-deadlock
+    # until the stage cap kills us (and the queue would misread that as
+    # a wedge). The queue exports KRT_CHIP_LOCK_HELD=1 to say "already
+    # serialized".
+    if os.environ.get("KRT_CHIP_LOCK_HELD", "0") == "1":
+        return open(os.devnull, "r")
 
     path = os.environ.get("KRT_CHIP_LOCK", "/tmp/krt_chip.lock")
     deadline = time.time() + int(

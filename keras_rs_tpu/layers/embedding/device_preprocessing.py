@@ -292,10 +292,11 @@ def preprocess_stack_device(
         recv_slots = jnp.transpose(send_slots, (1, 0, 2)).reshape(
             D, D * C
         )
-        recv_gains = jnp.transpose(send_gains, (1, 0, 2)).reshape(
-            D, D * C
-        )
-        real = recv_gains != 0
+        # Dedup membership = buffer occupancy (slot != sink; the sink
+        # row is reserved so no real slot equals it) — matches the
+        # numpy and C++ backends even when a mean/sqrtn gain fold
+        # underflows a valid weight to exactly 0.0.
+        real = recv_slots != sink
 
         key = jnp.where(real, recv_slots, _INT_MAX)
         pos = jnp.broadcast_to(

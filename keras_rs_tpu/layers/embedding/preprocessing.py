@@ -250,8 +250,13 @@ def preprocess_stack(
     max_unique = 0
     for e in range(D):
         recv_slots = send_slots[:, e, :].reshape(-1)  # [D*C]
-        recv_gains = send_gains[:, e, :].reshape(-1)
-        real = recv_gains != 0
+        # Dedup membership = "entry occupies a bucket position": slot
+        # != sink (the sink row is reserved — no real slot equals it).
+        # NOT folded-gain != 0: a mean/sqrtn fold can underflow a tiny
+        # valid weight to exactly 0.0, and the C++ and device backends
+        # key membership off buffer occupancy — gain-based membership
+        # would diverge bit-wise on such inputs (review finding r4).
+        real = recv_slots != sink
         vals = recv_slots[real]
         if D == 1 and len(vals):
             # Already slot-sorted (the entry-order contract): adjacency

@@ -26,7 +26,8 @@ run() {
   # flock: mutual exclusion with the driver's bench.py run (it takes
   # the same lock) — round 3's official BENCH JSON was corrupted by
   # exactly this race (VERDICT r3 weak #1).
-  flock "${KRT_CHIP_LOCK:-/tmp/krt_chip.lock}" timeout "$cap" "$@" > "$OUT/$name.log" 2>&1
+  flock "${KRT_CHIP_LOCK:-/tmp/krt_chip.lock}" \
+    env KRT_CHIP_LOCK_HELD=1 timeout "$cap" "$@" > "$OUT/$name.log" 2>&1
   local rc=$?
   echo "=== $name exit $rc end $(date +%T)" | tee -a "$OUT/queue.log"
   if [ "$rc" -eq 0 ]; then

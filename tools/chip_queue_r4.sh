@@ -16,7 +16,11 @@ run() {
     return 0
   fi
   echo "=== $name (cap ${cap}s) start $(date +%T)" | tee -a "$OUT/queue.log"
-  flock "${KRT_CHIP_LOCK:-/tmp/krt_chip.lock}" timeout "$cap" "$@" > "$OUT/$name.log" 2>&1
+  # KRT_CHIP_LOCK_HELD: bench.py would otherwise try to re-flock the
+  # same file from inside our flock and self-deadlock (flock denies a
+  # second lock via a fresh fd even in a child).
+  flock "${KRT_CHIP_LOCK:-/tmp/krt_chip.lock}" \
+    env KRT_CHIP_LOCK_HELD=1 timeout "$cap" "$@" > "$OUT/$name.log" 2>&1
   local rc=$?
   echo "=== $name exit $rc end $(date +%T)" | tee -a "$OUT/queue.log"
   if [ "$rc" -eq 0 ]; then

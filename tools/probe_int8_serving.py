@@ -68,30 +68,17 @@ def honest_ms(fn, args, perturb, derive, iters=50, host_rt=0.0):
     return float(np.median(ts)) / iters * 1e3
 
 
-def pack_groups(q: np.ndarray) -> np.ndarray:
-    """int8 [R, dim] -> int32 [R/4, dim] (4 consecutive rows per group).
-
-    R must be a multiple of 4 (pad with zero rows first). Group row g
-    holds rows 4g..4g+3 as dim int32 words: word w of row r lives at
-    packed[r // 4, (r % 4) * (dim // 4) + w'] — i.e. a plain reshape.
-    """
-    R, dim = q.shape
-    assert R % 4 == 0
-    return q.reshape(R // 4, 4 * dim).view(np.int32)
+# The packed layout under test IS the production one: time the shipped
+# kernels so the probe cannot drift from what QuantizedEmbedReduce
+# serves (review finding r4).
+from keras_rs_tpu.ops.quant import (  # noqa: E402
+    pack_rows_int8_groups,
+    take_rows_int8_packed,
+)
 
 
 def take_packed(packed, scale1d, ids, dim):
-    """Dequantized rows from the group-packed int32 layout."""
-    words = jnp.take(packed, ids // 4, axis=0)  # [N, dim] int32
-    grp = words.reshape(-1, 4, dim // 4)
-    sel = (ids % 4)[:, None, None] == jnp.arange(4)[None, :, None]
-    # Integer select (NOT float: arbitrary bit patterns viewed as f32
-    # could be NaN and poison a float mul/sum).
-    row_words = jnp.sum(jnp.where(sel, grp, 0), axis=1)  # [N, dim//4]
-    rows = jax.lax.bitcast_convert_type(row_words, jnp.int8).reshape(
-        -1, dim
-    )
-    return rows.astype(jnp.float32) * jnp.take(scale1d, ids)[:, None]
+    return take_rows_int8_packed(packed, scale1d, ids)
 
 
 def main() -> None:
@@ -116,7 +103,7 @@ def main() -> None:
     q = jnp.asarray(q_h)
     scale2d = jnp.asarray(scale_h[:, None])
     scale1d = jnp.asarray(scale_h)
-    packed = jnp.asarray(pack_groups(q_h))
+    packed = pack_rows_int8_groups(q)
     f32_table = jnp.asarray(
         q_h.astype(np.float32) * scale_h[:, None]
     )
@@ -175,9 +162,12 @@ def main() -> None:
             ).reshape(-1, dim).astype(jnp.float32),
         ),
     }
-    out = {"rows": R, "dim": dim, "n_ids": N}
+    from keras_rs_tpu.utils.timing import measure_host_rt
+
+    host_rt = measure_host_rt()  # ~33 ms tunnel round-trip, subtracted
+    out = {"rows": R, "dim": dim, "n_ids": N, "host_rt_ms": round(host_rt * 1e3, 2)}
     for name, fn in variants.items():
-        ms = honest_ms(fn, (ids,), perturb, derive)
+        ms = honest_ms(fn, (ids,), perturb, derive, host_rt=host_rt)
         out[f"{name}_ms"] = round(ms, 4)
         print(f"{name:<16} {ms:8.4f} ms / lookup of {N} rows")
     print(json.dumps(out))

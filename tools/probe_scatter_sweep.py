@@ -102,7 +102,7 @@ def main() -> None:
     run_rows_variant("f32_rows_512B", R, np.float32, 40_960, out)
     run_variant("f32_blocks_1KB_20480", R, 2, np.float32, 20_480, out)
     run_variant("f32_blocks_1KB_40960", R, 2, np.float32, 40_960, out)
-    run_variant("bf16_blocks_512B_20480", R, 2, np.bfloat16, 20_480, out)
+    run_variant("bf16_blocks_512B_20480", R, 2, jnp.bfloat16, 20_480, out)
     run_variant("f32_blocks_2KB_10240", R, 4, np.float32, 10_240, out)
     # Flagship-scale unique count (U ~ 1.3M) into a 7M-row table.
     run_variant(
