@@ -16,7 +16,20 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os as _os
+import sys as _sys
 import time
+
+# Direct-file invocation (`python examples/ml_perf/main.py`) puts
+# examples/ml_perf/ at sys.path[0], not the repo root — bootstrap so
+# `examples.ml_perf.configs` and `keras_rs_tpu` resolve either way
+# (the round-4 chip queue lost two stages to this).
+_sys.path.insert(
+    0,
+    _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    ),
+)
 
 import jax
 import numpy as np

@@ -55,42 +55,52 @@ def dequantize_rows(q: Tensor, scale: Tensor) -> Tensor:
 
 
 def pack_rows_int8_groups(q: Tensor) -> Tensor:
-    """int8 [R, dim] -> int32 [ceil(R/4), dim]: 4 consecutive rows per
-    packed row.
+    """int8 [R, dim] -> int32 [ceil(R/4), dim]: 4 consecutive rows
+    byte-interleaved per COLUMN of the packed row
+    (word[g, d] = q[4g, d] | q[4g+1, d]<<8 | q[4g+2, d]<<16
+    | q[4g+3, d]<<24).
 
     The serving-lookup layout motivated by the int8 gather penalty
     (BASELINE.md: sub-32-bit rows gather SLOWER per row than f32): the
     packed table keeps a full 128-lane int32 minor dimension (no TPU
     tile-padding waste — exactly 1 byte/element amortized), and a row
     fetch becomes ONE word-typed gather of the 4-row group at the f32
-    descriptor rate followed by an in-register integer select
-    (`take_rows_int8_packed`). dim must be a multiple of 4; R is padded
-    to a multiple of 4 with zero rows.
+    descriptor rate followed by two in-register shifts
+    (`take_rows_int8_packed`). R is padded to a multiple of 4 with
+    zero rows.
+
+    Built from 2-D strided slices + shifts ONLY: the previous
+    bitcast-of-[G, dim, 4] formulation OOMed on TPU — an s8 array with
+    a minor dim of 4 is tile-padded 32x, 16 GB at the 4M-row serving
+    shape (round-4 int8_probe failure, /tmp/chip_r4/int8_probe.log).
     """
     q = jnp.asarray(q)
-    if q.dtype != jnp.int8 or q.ndim != 2 or q.shape[1] % 4:
+    if q.dtype != jnp.int8 or q.ndim != 2:
         raise ValueError(
-            f"expected int8 [R, dim % 4 == 0], got {q.dtype} {q.shape}"
+            f"expected int8 [R, dim], got {q.dtype} {q.shape}"
         )
     R, dim = q.shape
     pad = (-R) % 4
     if pad:
         q = jnp.pad(q, ((0, pad), (0, 0)))
-    # Group row g = rows 4g..4g+3 byte-concatenated; little-endian word
-    # packing matches numpy's .view(int32) on this platform and is
-    # self-inverse with `unpack_rows_int8_groups` on any platform.
-    return jax.lax.bitcast_convert_type(
-        q.reshape((R + pad) // 4, dim, 4), jnp.int32
+    b = q.astype(jnp.int32) & 0xFF  # [4G, dim], zero-extended bytes
+    w = (
+        b[0::4]
+        | (b[1::4] << 8)
+        | (b[2::4] << 16)
+        | (b[3::4] << 24)
     )
+    return w.astype(jnp.int32)
 
 
 def unpack_rows_int8_groups(packed: Tensor, rows: int) -> Tensor:
     """Inverse of `pack_rows_int8_groups` (drops the padding rows)."""
     g, dim = packed.shape
-    q = jax.lax.bitcast_convert_type(packed, jnp.int8).reshape(
-        g * 4, dim
-    )
-    return q[:rows]
+    w = jnp.asarray(packed, jnp.int32)
+    # Arithmetic shift sign-extends each byte lane back to int8 range.
+    lanes = [((w << (24 - 8 * k)) >> 24) for k in range(4)]
+    q = jnp.stack(lanes, axis=1).reshape(g * 4, dim)
+    return q.astype(jnp.int8)[:rows]
 
 
 def take_rows_int8_packed(
@@ -101,19 +111,15 @@ def take_rows_int8_packed(
     `packed` int32 [ceil(R/4), dim] (pack_rows_int8_groups), `scale`
     f32 [R] (1-D: avoids both a second row-descriptor per id and the
     [R, 1] tile-padding), `ids` any integer shape; returns
-    f32 ids.shape + (dim,). The group select is INTEGER arithmetic —
-    arbitrary bit patterns viewed as floats could be NaN and poison a
-    float one-hot multiply.
+    f32 ids.shape + (dim,). The byte extraction is INTEGER shift
+    arithmetic — left-shift to the sign position then arithmetic
+    right-shift sign-extends, with no lane select or float one-hot.
     """
     dim = packed.shape[1]
     flat = ids.reshape(-1)
     words = jnp.take(packed, flat // 4, axis=0)  # [N, dim] int32
-    grp = words.reshape(-1, 4, dim // 4)
-    sel = (flat % 4)[:, None, None] == jnp.arange(4)[None, :, None]
-    row_words = jnp.sum(jnp.where(sel, grp, 0), axis=1)
-    rows = jax.lax.bitcast_convert_type(row_words, jnp.int8).reshape(
-        -1, dim
-    )
+    shift = (24 - 8 * (flat % 4)).astype(jnp.int32)[:, None]
+    rows = (words << shift) >> 24  # [N, dim] sign-extended bytes
     out = rows.astype(jnp.float32) * jnp.take(scale, flat)[:, None]
     return out.reshape(tuple(ids.shape) + (dim,))
 

@@ -11,6 +11,16 @@ update path engaged (tpu_custom_call in the lowered step).
 CPU tests prove the three backends agree with each other; this proves
 the TPU backend (Mosaic kernels, TPU sort/scatter lowerings) agrees
 with them too.
+
+Float contract on HARDWARE (amended after the first on-TPU run,
+/tmp/chip_r4/parity.log): integer arrays (ids, slots, segments) are
+bit-exact on every backend; the f32 FOLDED GAINS and divisors are
+bit-exact across the host backends (numpy / C++ / device-on-CPU —
+CI-enforced) but only ULP-BOUNDED on TPU, because TPU lowers f32
+divide to reciprocal-multiply (non-IEEE under
+--xla_allow_excess_precision) and segment-sum accumulation order is
+hardware-scheduled. This gate asserts: identical zero/nonzero pattern,
+and every nonzero element within _GAIN_ULP_TOL ULPs of the host value.
 """
 
 from __future__ import annotations
@@ -23,6 +33,22 @@ _sys.path.insert(
 )
 
 import numpy as np
+
+_GAIN_ULP_TOL = 8
+
+
+def _ulp_distance(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Elementwise ULP distance between two same-shape f32 arrays.
+
+    Uses the standard monotone int32 reinterpretation (sign-folded
+    two's complement), so the distance is the number of representable
+    f32 values between a and b. 0 means bit-identical.
+    """
+    ai = a.view(np.int32).astype(np.int64)
+    bi = b.view(np.int32).astype(np.int64)
+    ai = np.where(ai < 0, np.int64(-(2**31)) - ai, ai)
+    bi = np.where(bi < 0, np.int64(-(2**31)) - bi, bi)
+    return np.abs(ai - bi)
 
 
 def check_preprocess_parity() -> None:
@@ -97,14 +123,32 @@ def check_preprocess_parity() -> None:
             if weights is None
             else {k: jnp.asarray(v) for k, v in weights.items()},
         )
+        max_ulp = 0
         for k, h in host.arrays().items():
             d = np.asarray(dev[k])
-            assert np.array_equal(d, h), (
-                f"trial {trial}: {k} mismatch on TPU "
-                f"({(d != h).sum()} of {h.size} elements)"
-            )
+            if h.dtype == np.float32:
+                # Hardware float contract: same zero pattern, nonzeros
+                # within _GAIN_ULP_TOL ULPs (see module docstring).
+                assert np.array_equal(d == 0, h == 0), (
+                    f"trial {trial}: {k} zero-pattern mismatch on TPU "
+                    f"({((d == 0) != (h == 0)).sum()} of {h.size})"
+                )
+                ulp = _ulp_distance(d, h)
+                max_ulp = max(max_ulp, int(ulp.max()))
+                assert ulp.max() <= _GAIN_ULP_TOL, (
+                    f"trial {trial}: {k} exceeds {_GAIN_ULP_TOL} ULP on "
+                    f"TPU (max {int(ulp.max())} ULP, "
+                    f"{(ulp > _GAIN_ULP_TOL).sum()} of {h.size} over, "
+                    f"{(ulp > 0).sum()} nonexact)"
+                )
+            else:
+                assert np.array_equal(d, h), (
+                    f"trial {trial}: {k} mismatch on TPU "
+                    f"({(d != h).sum()} of {h.size} elements)"
+                )
         print(f"[parity trial {trial}] PASS "
-              f"(B={B} L={L} combiner={combiner} weighted={weighted})")
+              f"(B={B} L={L} combiner={combiner} weighted={weighted} "
+              f"max_gain_ulp={max_ulp})")
 
 
 def check_train_step() -> None:

@@ -55,7 +55,14 @@ def run_trace(steps: int, batch: int, out_dir: str, profile: str) -> None:
     run = bench.make_scan_runner(step, steps)
     state, loss = run(state, pre)  # compile + warm
     _ = float(loss)
-    jax.profiler.start_trace(out_dir)
+    # Host python tracing OFF: the trace-json exporter caps at 1e6
+    # events, and the flagship run's python events alone exceed that —
+    # the device plane then exports ZERO ops (the round-4 queue's
+    # "0 distinct ops" failure). Device (TPU) tracing is unaffected.
+    opts = jax.profiler.ProfileOptions()
+    opts.python_tracer_level = 0
+    opts.host_tracer_level = 1
+    jax.profiler.start_trace(out_dir, profiler_options=opts)
     state, loss = run(state, pre)
     _ = float(loss)
     jax.profiler.stop_trace()
@@ -120,7 +127,20 @@ def main() -> None:
     p.add_argument("--profile", default="bench",
                    choices=["bench", "mlperf"])
     p.add_argument("--parse-only", action="store_true")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (smoke-testing the "
+                        "trace capture/parse off-chip)")
     args = p.parse_args()
+    if args.cpu:
+        # The sandbox pre-imports jax on the tunneled TPU; plain env
+        # vars are too late — force in-process (CLAUDE.md).
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=8"
+        )
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     if not args.parse_only:
         run_trace(args.steps, args.batch, args.out, args.profile)
     parse_trace(args.out, args.steps, args.min_us)

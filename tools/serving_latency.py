@@ -52,27 +52,54 @@ def honest_ms(fn, args, perturb, derive, iters=50):
     """Median per-call ms of `fn(*args)` with data-dependent chaining.
 
     perturb(args, tick) -> args', derive(out) -> scalar f32 tick.
+
+    TWO-POINT protocol: times scans of length k and 2k and returns
+    (T(2k) - T(k)) / k — the host round-trip cancels EXACTLY instead of
+    being subtracted as a constant. (The round-4 serving run printed
+    0.000 ms for every config whose k iterations ran faster than the
+    round-trip jitter: `max(wall - 0.033, 1e-9)` collapsed. See
+    /tmp/chip_r4/serving.log.) k doubles until the k-vs-2k difference
+    clears a noise floor, so fast configs are measured at whatever
+    chain length makes them visible.
     """
 
-    @jax.jit
-    def run(args):
-        def body(tick, _):
-            out = fn(*perturb(args, tick))
-            t2 = derive(out)
-            return t2, t2
+    def make_run(length):
+        @jax.jit
+        def run(args):
+            def body(tick, _):
+                out = fn(*perturb(args, tick))
+                t2 = derive(out)
+                return t2, t2
 
-        last, _ = jax.lax.scan(
-            body, jnp.zeros((), jnp.float32), None, length=iters
-        )
-        return last
+            last, _ = jax.lax.scan(
+                body, jnp.zeros((), jnp.float32), None, length=length
+            )
+            return last
 
-    _ = float(run(args))  # compile + warm
-    ts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _ = float(run(args))
-        ts.append(max(time.perf_counter() - t0 - HOST_RT, 1e-9))
-    return float(np.median(ts)) / iters * 1e3
+        return run
+
+    def timed(run):
+        _ = float(run(args))  # compile + warm
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _ = float(run(args))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    noise_floor_s = 0.008  # ~tunnel round-trip jitter, measured
+    k = iters
+    while True:
+        t_k = timed(make_run(k))
+        t_2k = timed(make_run(2 * k))
+        diff = t_2k - t_k
+        if diff > noise_floor_s or k >= 4096:
+            if diff <= 0:
+                print(f"    [warn] non-positive k-vs-2k diff at k={k}; "
+                      f"reporting noise-floor bound")
+                return noise_floor_s / k * 1e3
+            return diff / k * 1e3
+        k *= 2
 
 
 def bench_dlrm_inference(small=False):
