@@ -330,6 +330,64 @@ def main() -> None:
     print(f"{'segsum_N':<20} {ms:9.3f} ms")
     out["segsum_N_ms"] = round(ms, 3)
 
+    # --- the forward's ROW-level ops at flagship scale ----------------------
+    # (the lookup's hot pair: gather N rows from the table, then
+    # segment-sum [N, dim] into [S_l, dim]; the r4 slot-major contract
+    # made the forward's segment ids UNSORTED — measure whether XLA's
+    # row segment_sum cares.)
+    dim = 128
+    table0 = jnp.zeros((R_l, dim), jnp.float32)
+    rows0 = jnp.asarray(
+        rng.normal(size=(min(N, 1 << 21), dim)).astype(np.float32)
+    )
+    n_rows = rows0.shape[0]
+    seg_rows = jnp.asarray(
+        rng.integers(0, S_l, size=n_rows, dtype=np.int64).astype(
+            np.int32
+        )
+    )
+    seg_rows_sorted = jnp.sort(seg_rows)
+
+    def take_rows_fn(tab, slot):
+        return jnp.take(tab, slot, axis=0)
+
+    ms = honest_ms(
+        take_rows_fn,
+        (table0, slot0),
+        lambda a, t: (a[0], (a[1] + t.astype(jnp.int32)) % R_l),
+        first_f32,
+    )
+    print(f"{'take_rows':<20} {ms:9.3f} ms")
+    out["take_rows_ms"] = round(ms, 3)
+
+    def segsum_rows_fn(r, s):
+        return jax.ops.segment_sum(r, s, num_segments=S_l)
+
+    ms = honest_ms(
+        segsum_rows_fn,
+        (rows0, seg_rows),
+        lambda a, t: (a[0] + t * 1e-6, a[1]),
+        first_f32,
+        iters=4,
+    )
+    print(f"{'segsum_rows_unsorted':<20} {ms:9.3f} ms")
+    out["segsum_rows_unsorted_ms"] = round(ms, 3)
+
+    def segsum_rows_sorted_fn(r, s):
+        return jax.ops.segment_sum(
+            r, s, num_segments=S_l, indices_are_sorted=True
+        )
+
+    ms = honest_ms(
+        segsum_rows_sorted_fn,
+        (rows0, seg_rows_sorted),
+        lambda a, t: (a[0] + t * 1e-6, a[1]),
+        first_f32,
+        iters=4,
+    )
+    print(f"{'segsum_rows_sorted':<20} {ms:9.3f} ms")
+    out["segsum_rows_sorted_ms"] = round(ms, 3)
+
     print(json.dumps(out))
 
 
