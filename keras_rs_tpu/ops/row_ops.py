@@ -328,9 +328,23 @@ def _scatter_rows_multi(tables, idx, rows_list, *, interpret=False):
 # tools/validate_block_rmw.py history).
 
 
-def _block_kernel(idx_ref, rows_ref, table_ref, out_ref, sems):
+def _block_kernel(nvalid_ref, idx_ref, rows_ref, table_ref, out_ref,
+                  sems):
+    # nvalid_ref [1] SMEM: number of LEADING descriptors that must be
+    # written. The caller guarantees positions >= n_valid are padding
+    # whose target rows need no update (the dedup contract pads
+    # unique_slots with sink entries carrying exactly-zero gradients),
+    # so whole DMA groups past that point are skipped — the scatter is
+    # descriptor-rate bound, and on deduplicating workloads (power-law
+    # ids, flagship valence) the capacity tail is a large fraction of
+    # the static descriptor count. A group straddling n_valid issues
+    # all its DMAs (<= _UNROLL - 1 redundant sink writes, benign).
     del table_ref
     ngroups = BLOCK_ROWS // _UNROLL
+    base = pl.program_id(0) * ngroups
+    # Group g (global base + g) is live iff its first position is
+    # < n_valid, i.e. base + g < ceil(n_valid / _UNROLL).
+    live_groups = (nvalid_ref[0] + _UNROLL - 1) // _UNROLL - base
 
     def dma(j):
         return pltpu.make_async_copy(
@@ -347,19 +361,23 @@ def _block_kernel(idx_ref, rows_ref, table_ref, out_ref, sems):
         for u in range(_UNROLL):
             dma(g * _UNROLL + u).wait()
 
+    lg = jnp.clip(live_groups, 0, ngroups)
+
     for g in range(_INFLIGHT_GROUPS):
-        put(g)
+        @pl.when(g < lg)
+        def _(g=g):
+            put(g)
 
     def body(g, _):
         wait(g)
 
-        @pl.when(g + _INFLIGHT_GROUPS < ngroups)
+        @pl.when(g + _INFLIGHT_GROUPS < lg)
         def _():
             put(g + _INFLIGHT_GROUPS)
 
         return 0
 
-    jax.lax.fori_loop(0, ngroups, body, 0)
+    jax.lax.fori_loop(0, lg, body, 0)
 
 
 @functools.partial(
@@ -369,6 +387,9 @@ def scatter_row_blocks(
     packed: jax.Array,  # [R, k, dim] (HBM, donated -> updated in place)
     idx: jax.Array,  # [N] int32 logical row ids, unique
     blocks: jax.Array,  # [N, k, dim] new (table row, slot rows...) groups
+    n_valid: jax.Array | None = None,  # scalar i32: leading descriptors
+    #   that must land; positions >= n_valid are padding whose target
+    #   rows need no write (the dedup sink tail). None = write all.
     *,
     interpret: bool = False,
 ) -> jax.Array:
@@ -385,11 +406,20 @@ def scatter_row_blocks(
             [blocks, jnp.broadcast_to(blocks[N - 1], (Np - N, k, dim))]
         )
     idx = idx.astype(jnp.int32)
+    if n_valid is None:
+        nv = jnp.full((1,), N, jnp.int32)
+    else:
+        nv = jnp.clip(
+            jnp.asarray(n_valid, jnp.int32), 0, N
+        ).reshape(1)
 
     return pl.pallas_call(
         _block_kernel,
         grid=(Np // BLOCK_ROWS,),
         in_specs=[
+            pl.BlockSpec(
+                (1,), lambda i: (0,), memory_space=pltpu.SMEM
+            ),
             pl.BlockSpec(
                 (BLOCK_ROWS,), lambda i: (i,), memory_space=pltpu.SMEM
             ),
@@ -403,21 +433,31 @@ def scatter_row_blocks(
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((R, k, dim), packed.dtype),
         scratch_shapes=[pltpu.SemaphoreType.DMA((_NSEM,))],
-        input_output_aliases={2: 0},
+        input_output_aliases={3: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(idx, blocks, packed)
+    )(nv, idx, blocks, packed)
 
 
 def scatter_row_blocks_unique(
     packed: jax.Array,  # [R, k, dim]
     idx: jax.Array,
     blocks: jax.Array,
+    n_valid: jax.Array | None = None,
     *,
     use_pallas: bool | None = None,
     interpret: bool = False,
 ) -> jax.Array:
-    """Backend-selecting k-row block scatter (Pallas on TPU, XLA else)."""
+    """Backend-selecting k-row block scatter (Pallas on TPU, XLA else).
+
+    `n_valid` (optional scalar): only the first n_valid descriptors
+    must be written; the tail is dedup sink padding whose target rows
+    are unchanged. The Pallas kernel skips those DMA groups (the
+    scatter is descriptor-bound, so on deduplicating workloads this is
+    a proportional win); the XLA fallback ignores the hint (its scatter
+    applies all updates — the tail writes are value-identical no-ops
+    for the zero-gradient contract, so the result matches).
+    """
     blocks = blocks.astype(packed.dtype)
     k, dim = blocks.shape[1], blocks.shape[2]
     if use_pallas is None:
@@ -428,7 +468,9 @@ def scatter_row_blocks_unique(
             and k * dim <= MAX_BLOCK_WIDTH
         )
     if use_pallas:
-        return scatter_row_blocks(packed, idx, blocks, interpret=interpret)
+        return scatter_row_blocks(
+            packed, idx, blocks, n_valid, interpret=interpret
+        )
     return packed.at[idx].set(blocks, unique_indices=True)
 
 

@@ -144,6 +144,65 @@ def test_block_scatter_interpret_matches_xla():
     np.testing.assert_array_equal(np.asarray(got), exp)
 
 
+@pytest.mark.parametrize("n_valid", [0, 1, 7, 8, 100, 2500, 4000])
+def test_block_scatter_n_valid_skips_tail(n_valid):
+    """Descriptors >= n_valid (rounded up to the DMA-group boundary)
+    must NOT be written; everything below must land. Uses N larger than
+    one kernel block so multi-block group accounting is covered."""
+    from keras_rs_tpu.ops.row_ops import _UNROLL, scatter_row_blocks
+
+    rng = np.random.default_rng(5)
+    R, N, k, dim = 8192, 4000, 2, 128
+    packed0 = rng.standard_normal((R, k, dim)).astype(np.float32)
+    idx = np.sort(rng.choice(R, N, replace=False)).astype(np.int32)
+    blocks = rng.standard_normal((N, k, dim)).astype(np.float32)
+    got = np.asarray(
+        scatter_row_blocks(
+            jnp.asarray(packed0),
+            jnp.asarray(idx),
+            jnp.asarray(blocks),
+            jnp.int32(n_valid),
+            interpret=True,
+        )
+    )
+    # The kernel may overshoot to the end of the straddling group.
+    hi = min(-(-n_valid // _UNROLL) * _UNROLL, N)
+    exp = packed0.copy()
+    exp[idx[:n_valid]] = blocks[:n_valid]
+    maybe = idx[n_valid:hi]
+    must_not = np.ones(R, bool)
+    must_not[idx[:hi]] = False
+    # below n_valid: exact; straddle zone: either old or new; beyond:
+    # untouched.
+    np.testing.assert_array_equal(got[idx[:n_valid]], blocks[:n_valid])
+    for j, r in enumerate(maybe, start=n_valid):
+        assert (got[r] == blocks[j]).all() or (
+            got[r] == packed0[r]
+        ).all()
+    np.testing.assert_array_equal(got[must_not], packed0[must_not])
+
+
+def test_block_scatter_n_valid_none_writes_all():
+    from keras_rs_tpu.ops.row_ops import scatter_row_blocks
+
+    rng = np.random.default_rng(6)
+    R, N, k, dim = 2048, 300, 2, 128
+    packed0 = rng.standard_normal((R, k, dim)).astype(np.float32)
+    idx = np.sort(rng.choice(R, N, replace=False)).astype(np.int32)
+    blocks = rng.standard_normal((N, k, dim)).astype(np.float32)
+    got = np.asarray(
+        scatter_row_blocks(
+            jnp.asarray(packed0),
+            jnp.asarray(idx),
+            jnp.asarray(blocks),
+            interpret=True,
+        )
+    )
+    exp = packed0.copy()
+    exp[idx] = blocks
+    np.testing.assert_array_equal(got, exp)
+
+
 def test_block_scatter_xla_fallback():
     from keras_rs_tpu.ops.row_ops import scatter_row_blocks_unique
 

@@ -64,6 +64,10 @@ run int8_probe 1800 python tools/probe_int8_serving.py --json "$OUT/int8_probe.j
 #    (the round-4 run printed 0.000 ms for fast configs).
 run serving 2400 python tools/serving_latency.py
 
+# 5b. Scatter sweep incl. the n_valid DMA-group-skip A/B at flagship
+#     scale (validates the round-5 kernel change compiles + quantifies).
+run scatter_nvalid 2400 python tools/probe_scatter_sweep.py
+
 # 6. bf16-resident dense AUC parity (decides dense_output_dtype
 #    default): 2000 steps synthetic learnable CTR at batch 8192.
 #    Compare to the r3 f32 curve (0.7684@2000).

@@ -110,6 +110,33 @@ def main() -> None:
         1_310_720, out,
     )
 
+    # n_valid DMA-group skipping at flagship scale (round 5): the dedup
+    # tail is sink padding, and the kernel now skips whole DMA groups
+    # past n_valid. 64% models the measured uniform-ids dedup rate
+    # (probe_preproc_ops: ~0.9M unique of 1.41M entries).
+    def run_nvalid(name, frac):
+        rng = np.random.default_rng(2)
+        n, k, dim = 1_310_720, 2, 128
+        groups = 7_000_000 // k
+        idx = rng.choice(groups, size=n, replace=False).astype(np.int32)
+        blocks = rng.normal(size=(n, k, dim)).astype(np.float32)
+        table = jnp.zeros((groups, k, dim), np.float32)
+        nv = jnp.int32(int(n * frac))
+
+        def fn(st, i, r):
+            return row_ops.scatter_row_blocks(st, i, r, nv)
+
+        ms = _honest_ms(fn, table, jnp.asarray(idx), jnp.asarray(blocks))
+        print(
+            f"{name:<34} {n:>9} x {k}x128 float32 "
+            f" {ms:8.3f} ms  ({frac:.0%} live)"
+        )
+        out[name] = {"ms": round(ms, 4), "frac_live": frac}
+
+    run_nvalid("f32_flagship_nvalid_100pct", 1.0)
+    run_nvalid("f32_flagship_nvalid_64pct", 0.64)
+    run_nvalid("f32_flagship_nvalid_25pct", 0.25)
+
     # DMA depth sweep: _INFLIGHT_GROUPS is a module constant read at
     # trace time — clear the jit cache between settings.
     base_g, base_s = row_ops._INFLIGHT_GROUPS, row_ops._NSEM
