@@ -152,20 +152,26 @@ def dense_flops_per_step(cfg, batch_size: int) -> float:
     return 3.0 * 2.0 * macs * batch_size
 
 
-def embedding_floor_ms(cfg, batch_size: int, num_shards: int) -> float:
+def embedding_floor_ms(
+    cfg, batch_size: int, num_shards: int,
+    unique_rows: int | None = None,
+) -> float:
     """Descriptor-rate floor of the sharded embedding fwd+bwd path.
 
-    Entries = all (non-deduped) ids of the large tables; unique rows
-    bounded by entries. fwd gather + bwd grad gather run at the XLA row
-    gather rate; the bwd block gather + block scatter at the DMA issue
-    rate (one descriptor per unique row each in the packed layout).
+    Entries = all (non-deduped) ids of the large tables. fwd gather +
+    bwd grad gather run per ENTRY; the bwd block gather + block scatter
+    run per UNIQUE row (one DMA descriptor each in the packed layout —
+    and the round-5 n_valid kernel skips the dedup tail, so the honest
+    floor must count actual uniques). `unique_rows=None` assumes no
+    dedup (right for the near-collision-free main bench shape); the
+    flagship variant passes the batch's measured unique count.
     """
     entries = sum(
         m
         for v, m in zip(cfg.vocab_sizes, cfg.multi_hot_sizes)
         if v >= cfg.embedding_threshold
     ) * batch_size
-    unique = entries  # uniform synthetic ids: ~no dedup at bench shape
+    unique = entries if unique_rows is None else unique_rows
     # Packed layout: fwd fetch and the bwd table+slot fetch are axis-0
     # block gathers (stride 2 for Adagrad) at HBM byte speed; the bwd
     # grad gather stays a dim-wide row gather at the descriptor rate;
@@ -555,16 +561,36 @@ def main() -> None:
                 ts_f.append(el)
             del state_f
             f_s = float(np.median(ts_f)) / iters
-            f_floor = embedding_floor_ms(cfg_f, fb, mesh.devices.size)
             large_ids = sum(
                 m
                 for v, m in zip(fv, CRITEO_MULTI_HOT_SIZES)
                 if v >= cfg_f.embedding_threshold
             )
+            # Honest floor: the block gather + update scatter cost one
+            # DMA per ACTUAL unique row (the n_valid kernel skips the
+            # dedup tail), and the flagship mix collides substantially
+            # (~64% unique at uniform ids under 1M-row caps). Count the
+            # batch's real uniques host-side (same seed as build()).
+            from keras_rs_tpu.data import synthetic as _synth
+
+            raw_f = _synth.criteo_like_batch(
+                fb, vocab_sizes=fv,
+                multi_hot_sizes=CRITEO_MULTI_HOT_SIZES, seed=0,
+            )
+            uniq = sum(
+                len(np.unique(np.asarray(raw_f[f"cat_{i}"])))
+                for i, v in enumerate(fv)
+                if v >= cfg_f.embedding_threshold
+            )
+            del raw_f
+            f_floor = embedding_floor_ms(
+                cfg_f, fb, mesh.devices.size, unique_rows=uniq
+            )
             out.update(
                 flagship_examples_per_sec=round(fb / f_s, 1),
                 flagship_step_ms=round(f_s * 1e3, 3),
                 flagship_entries_per_batch=large_ids * fb,
+                flagship_unique_rows=uniq,
                 flagship_embedding_floor_ms=round(f_floor, 3),
             )
         except Exception as e:  # noqa: BLE001 — report, don't die
