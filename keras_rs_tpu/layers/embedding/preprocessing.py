@@ -55,9 +55,23 @@ class CooBatch:
     unique_slots: np.ndarray
     entry_unique: np.ndarray
     divisors: np.ndarray
+    #: CONSTRUCTION-order forward arrays (D == 1 only, see
+    #: TableStack.construction_fwd): the masked raw entries, features
+    #: concatenated, each sample-major [B, valence] flattened. The
+    #: lookup's forward gathers these and combiner-reduces with dense
+    #: per-feature reshape-sums (static segment structure) instead of a
+    #: segment-sum over the sorted send buffer. Derived elementwise
+    #: from the raw inputs — NO sort, same fold expression as
+    #: send_gains, so cross-backend bit parity is by construction.
+    fwd_slots: np.ndarray | None = None  # [1, N] int32, sink = invalid
+    fwd_gains: np.ndarray | None = None  # [1, N] f32, divisor-folded
 
     def arrays(self) -> dict[str, np.ndarray]:
-        return dataclasses.asdict(self)
+        return {
+            k: v
+            for k, v in dataclasses.asdict(self).items()
+            if v is not None
+        }
 
 
 @dataclasses.dataclass(frozen=True)
@@ -67,6 +81,68 @@ class InputStats:
     max_ids_per_bucket: int
     max_unique_per_shard: int
     dropped_ids: int
+
+
+def construction_fwd_arrays(
+    stack: TableStack,
+    inputs: Mapping[str, np.ndarray | Sequence],
+    weights: Mapping[str, np.ndarray] | None,
+    divisors: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray] | tuple[None, None]:
+    """(fwd_slots [1, N] i32, fwd_gains [1, N] f32) in construction
+    order, or (None, None) when the path doesn't apply.
+
+    Shared by the numpy backend and the native-engine wrapper so both
+    emit bit-identical arrays from one implementation. Applies when
+    `stack.construction_fwd` holds AND every feature's runtime shape
+    matches its declared (batch, valence) — the lookup reconstructs the
+    per-feature segmentation from those statics, so a shape mismatch
+    must fall back to the sorted path in every backend identically.
+    """
+    if not stack.construction_fwd:
+        return None, None
+    F = stack.num_features
+    sink = stack.sink_slot
+    all_sum = all(t.combiner == "sum" for t in stack.tables)
+    slots_parts, gains_parts = [], []
+    for fspec in stack.features:
+        ids = np.asarray(inputs[fspec.name])
+        if ids.ndim == 1:
+            ids = ids[:, None]
+        if ids.shape != (fspec.batch_size, fspec.valence):
+            # Same gate as the device backend (_norm_shape check) —
+            # all backends must fall back together.
+            return None, None
+        w = None if weights is None else weights.get(fspec.name)
+        if w is None:
+            w = np.ones(ids.shape, np.float32)
+        else:
+            w = np.asarray(w, np.float32)
+            if w.ndim == 1:
+                w = w[:, None]
+        tspec = stack.table_spec(fspec.table_name)
+        r = ids.reshape(-1).astype(np.int64)
+        g = w.reshape(-1).astype(np.float32)
+        valid = (g != 0) & (r >= 0) & (r < tspec.vocabulary_size)
+        r_safe = np.where(valid, r, 0)
+        slot = (tspec.local_offset + r_safe).astype(np.int32)
+        slots_parts.append(np.where(valid, slot, sink).astype(np.int32))
+        g = np.where(valid, g, np.float32(0.0))
+        if not all_sum:
+            # Same fold expression as send_gains (elementwise gather +
+            # divide of the same two floats) — bit parity with the
+            # sorted buffer's folded gains holds per entry.
+            b = np.repeat(
+                np.arange(fspec.batch_size, dtype=np.int64),
+                fspec.valence,
+            )
+            seg = b * F + fspec.feature_index
+            g = g / divisors[0, seg]
+        gains_parts.append(g.astype(np.float32))
+    return (
+        np.concatenate(slots_parts)[None].astype(np.int32),
+        np.concatenate(gains_parts)[None].astype(np.float32),
+    )
 
 
 def preprocess_stack(
@@ -101,6 +177,9 @@ def preprocess_stack(
         if native_lib.available():
             coo, stats = native_lib.preprocess_stack_native(
                 stack, inputs, weights
+            )
+            coo.fwd_slots, coo.fwd_gains = construction_fwd_arrays(
+                stack, inputs, weights, coo.divisors
             )
             if stats.dropped_ids:
                 msg = (
@@ -294,6 +373,9 @@ def preprocess_stack(
         if not allow_drop:
             raise ValueError(msg)
         warnings.warn(msg, stacklevel=2)
+    fwd_slots, fwd_gains = construction_fwd_arrays(
+        stack, inputs, weights, divisors
+    )
     return (
         CooBatch(
             send_slots=send_slots,
@@ -302,6 +384,8 @@ def preprocess_stack(
             unique_slots=unique_slots,
             entry_unique=entry_unique,
             divisors=divisors,
+            fwd_slots=fwd_slots,
+            fwd_gains=fwd_gains,
         ),
         stats,
     )

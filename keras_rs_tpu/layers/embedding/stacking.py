@@ -115,6 +115,32 @@ class TableStack:
         return self.rows_per_shard - 1
 
     @property
+    def construction_entries(self) -> int:
+        """Total id slots in CONSTRUCTION order (features concatenated,
+        each sample-major (B, valence) — invalid ids included)."""
+        return sum(f.batch_size * f.valence for f in self.features)
+
+    @property
+    def construction_fwd(self) -> bool:
+        """Whether the D == 1 construction-order forward applies.
+
+        At one shard, no entry routing happens and the forward can
+        consume entries in construction order, where the segment
+        structure is STATIC (feature f's entries are a contiguous
+        [B, valence_f] block): the combiner reduce becomes a dense
+        per-feature reshape-sum instead of a 1.4M-entry segment-sum
+        (measured 21.7 -> ~2 ms at flagship scale on v5e,
+        tools/probe_preproc_ops.py + the round-5 flagship profile).
+        Requires every entry to fit the bucket (no drop semantics in
+        construction order): N <= C, which also guarantees the sorted
+        send buffers dropped nothing.
+        """
+        return (
+            self.num_shards == 1
+            and self.construction_entries <= self.max_ids_per_partition
+        )
+
+    @property
     def global_rows(self) -> int:
         return self.num_shards * self.rows_per_shard
 

@@ -465,3 +465,162 @@ def test_two_step_update_matches_oracle(optimizer, dim):
     np.testing.assert_allclose(
         got[touched], np.asarray(rows)[touched], rtol=5e-4, atol=5e-5
     )
+
+
+# --- construction-order forward (D == 1, round 5) -----------------------
+
+
+def _big_capacity_configs(combiner="mean", optimizer="sgd"):
+    t_movie = TableConfig(
+        name="movie", vocabulary_size=50, embedding_dim=6,
+        optimizer=optimizer, combiner=combiner,
+        max_ids_per_partition=128, max_unique_ids_per_partition=128,
+    )
+    t_user = TableConfig(
+        name="user", vocabulary_size=30, embedding_dim=8,
+        optimizer=optimizer, combiner="sum",
+        max_ids_per_partition=128, max_unique_ids_per_partition=128,
+    )
+    return [
+        FeatureConfig("movie_hist", t_movie, (B, 3), (B, 6)),
+        FeatureConfig("movie_id", t_movie, (B,), (B, 6)),
+        FeatureConfig("user_id", t_user, (B, 2), (B, 8)),
+    ]
+
+
+def _setup_d1(fcs, seed=1):
+    mesh = mesh_lib.create_mesh(jax.devices()[:1])
+    stacks = build_stacks(fcs, 1, stacking="auto")
+    rng = np.random.default_rng(seed)
+    raw_tables = {}
+    for stack in stacks:
+        for ts in stack.tables:
+            raw_tables[ts.name] = rng.normal(
+                size=(ts.vocabulary_size, ts.embedding_dim)
+            ).astype(np.float32)
+    states = {}
+    for stack in stacks:
+        buf = np.zeros((stack.global_rows, stack.stack_dim), np.float32)
+        for ts in stack.tables:
+            buf = scatter_table(stack, buf, ts.name, raw_tables[ts.name])
+        table = jax.device_put(buf, mesh_lib.table_sharding(mesh))
+        states[stack.name] = init_stack_state(stack, table)
+    return mesh, stacks, states, raw_tables
+
+
+@pytest.mark.parametrize("combiner", ["sum", "mean"])
+def test_construction_fwd_matches_sorted_and_oracle(combiner):
+    """At D == 1 the forward consumes the construction-order arrays
+    (dense per-feature reshape-sum). It must match the sorted
+    segment-sum path closely and the numpy oracle, and the BACKWARD
+    (which still consumes the sorted residuals) must produce the same
+    table update either way."""
+    fcs = _big_capacity_configs(combiner)
+    mesh, stacks, states, raw = _setup_d1(fcs)
+    stack = stacks[0]
+    assert stack.construction_fwd, (
+        stack.construction_entries, stack.max_ids_per_partition
+    )
+    inputs, weights = make_inputs()
+    coo, _ = preprocess_stack(stack, inputs, weights)
+    assert coo.fwd_slots is not None and coo.fwd_gains is not None
+    assert coo.fwd_slots.shape == (1, stack.construction_entries)
+
+    coo_all = put_coo(mesh, coo)
+    coo_sorted = {
+        k: v
+        for k, v in coo_all.items()
+        if k not in ("fwd_slots", "fwd_gains")
+    }
+
+    def loss_fn(state, coo_dev):
+        acts = stack_lookup(stack, mesh, AXIS, state, coo_dev)
+        return jnp.sum(acts * jnp.cos(jnp.arange(acts.size))
+                       .reshape(acts.shape)), acts
+
+    grad_fn = jax.jit(
+        jax.grad(lambda s, c: loss_fn(s, c)[0], has_aux=False)
+    )
+    acts_c = jax.jit(lambda s, c: loss_fn(s, c)[1])(
+        states[stack.name], coo_all
+    )
+    acts_s = jax.jit(lambda s, c: loss_fn(s, c)[1])(
+        states[stack.name], coo_sorted
+    )
+    np.testing.assert_allclose(
+        np.asarray(acts_c), np.asarray(acts_s), rtol=1e-5, atol=1e-5
+    )
+    expected = oracle_activations(raw, fcs, inputs, weights)
+    split = split_activations(stack, acts_c)
+    for fc in fcs:
+        np.testing.assert_allclose(
+            np.asarray(split[fc.name]), expected[fc.name],
+            rtol=1e-5, atol=1e-5, err_msg=fc.name,
+        )
+    # Overwrite contract: the "gradient" is the updated state — must be
+    # identical whichever forward ran (the backward only reads the
+    # sorted residuals, which both forwards pass through).
+    g_c = grad_fn(states[stack.name], coo_all)
+    g_s = grad_fn(states[stack.name], coo_sorted)
+    np.testing.assert_array_equal(
+        np.asarray(g_c["table"]), np.asarray(g_s["table"])
+    )
+
+
+def test_construction_fwd_arrays_three_backend_parity():
+    """fwd_slots/fwd_gains are part of the D == 1 contract: numpy,
+    native C++ wrapper, and device backends must emit them
+    bit-identically (the device fuzz suite covers more shapes; this
+    pins the new arrays explicitly)."""
+    from keras_rs_tpu.layers.embedding import native as native_lib
+    from keras_rs_tpu.layers.embedding.device_preprocessing import (
+        preprocess_stack_device,
+    )
+
+    fcs = _big_capacity_configs("mean")
+    stacks = build_stacks(fcs, 1, stacking="auto")
+    stack = stacks[0]
+    inputs, weights = make_inputs()
+    host, _ = preprocess_stack(stack, inputs, weights, backend="numpy")
+    assert host.fwd_slots is not None
+
+    dev, _ = jax.jit(
+        lambda ins, ws: preprocess_stack_device(stack, ins, ws)
+    )(
+        {k: jnp.asarray(np.asarray(v)) for k, v in inputs.items()},
+        {k: jnp.asarray(v) for k, v in weights.items()},
+    )
+    assert "fwd_slots" in dev
+    np.testing.assert_array_equal(
+        np.asarray(dev["fwd_slots"]), host.fwd_slots
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dev["fwd_gains"]), host.fwd_gains
+    )
+
+    if native_lib.available():
+        nat, _ = preprocess_stack(stack, inputs, weights, backend="native")
+        np.testing.assert_array_equal(nat.fwd_slots, host.fwd_slots)
+        np.testing.assert_array_equal(nat.fwd_gains, host.fwd_gains)
+
+
+def test_construction_fwd_gate_falls_back():
+    """N > C disables the construction forward in every backend (drop
+    semantics only exist in the sorted path)."""
+    t = TableConfig(
+        name="t", vocabulary_size=50, embedding_dim=8,
+        combiner="sum", max_ids_per_partition=8,
+        max_unique_ids_per_partition=16,
+    )
+    fcs = [FeatureConfig("f", t, (B, 3), (B, 8))]
+    stacks = build_stacks(fcs, 1, stacking="auto")
+    stack = stacks[0]
+    assert not stack.construction_fwd
+    rng = np.random.default_rng(0)
+    inputs = {"f": rng.integers(0, 50, size=(B, 3))}
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        coo, _ = preprocess_stack(stack, inputs, None, backend="numpy")
+    assert coo.fwd_slots is None and coo.fwd_gains is None
