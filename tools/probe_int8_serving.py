@@ -124,50 +124,69 @@ def main() -> None:
     print(f"bit-exactness: PASS (N={N}, R={R}, dim={dim})")
 
     def perturb(a, tick):
-        (i,) = a
-        return ((i + tick.astype(jnp.int32)) % R,)
+        # last element is ids; tables pass through untouched.
+        return tuple(a[:-1]) + (
+            (a[-1] + tick.astype(jnp.int32)) % R,
+        )
 
     derive = lambda out: (  # noqa: E731
         jnp.sum(out[0]) > 1e30
     ).astype(jnp.float32)
 
+    # Tables are passed as jit ARGUMENTS: closure-captured device arrays
+    # become jit constants and get shipped through the remote compiler —
+    # the 2.15 GB capture hung compilation and wedged the tunnel in the
+    # round-5 queue (/tmp/chip_r5/int8_probe.log).
     variants = {
-        "f32": lambda i: (jnp.take(f32_table, i, axis=0),),
-        "int8_cur": lambda i: (
-            jnp.take(q, i, axis=0).astype(jnp.float32)
-            * jnp.take(scale2d, i, axis=0),
+        "f32": (
+            lambda t, i: (jnp.take(t, i, axis=0),),
+            (f32_table,),
         ),
-        "int8_noscale": lambda i: (
-            jnp.take(q, i, axis=0).astype(jnp.float32),
+        "int8_cur": (
+            lambda t, s2, i: (
+                jnp.take(t, i, axis=0).astype(jnp.float32)
+                * jnp.take(s2, i, axis=0),
+            ),
+            (q, scale2d),
         ),
-        "int8_scale1d": lambda i: (
-            jnp.take(q, i, axis=0).astype(jnp.float32)
-            * jnp.take(scale1d, i)[:, None],
+        "int8_noscale": (
+            lambda t, i: (jnp.take(t, i, axis=0).astype(jnp.float32),),
+            (q,),
         ),
-        "packed": lambda i: (take_packed(packed, scale1d, i, dim),),
-        "packed_noscale": lambda i: (
-            jax.lax.bitcast_convert_type(
-                jnp.sum(
-                    jnp.where(
-                        (i % 4)[:, None, None]
-                        == jnp.arange(4)[None, :, None],
-                        jnp.take(packed, i // 4, axis=0).reshape(
-                            -1, 4, dim // 4
-                        ),
-                        0,
-                    ),
-                    axis=1,
-                ),
-                jnp.int8,
-            ).reshape(-1, dim).astype(jnp.float32),
+        "int8_scale1d": (
+            lambda t, s1, i: (
+                jnp.take(t, i, axis=0).astype(jnp.float32)
+                * jnp.take(s1, i)[:, None],
+            ),
+            (q, scale1d),
+        ),
+        "packed": (
+            lambda pk, s1, i: (take_packed(pk, s1, i, dim),),
+            (packed, scale1d),
+        ),
+        # Shift-based byte extract without the scale gather (matches the
+        # shipped layout of quant.py pack_rows_int8_groups).
+        "packed_noscale": (
+            lambda pk, i: (
+                (
+                    (
+                        jnp.take(pk, i // 4, axis=0)
+                        << (24 - 8 * (i % 4)).astype(jnp.int32)[:, None]
+                    )
+                    >> 24
+                ).astype(jnp.float32),
+            ),
+            (packed,),
         ),
     }
     from keras_rs_tpu.utils.timing import measure_host_rt
 
     host_rt = measure_host_rt()  # ~33 ms tunnel round-trip, subtracted
     out = {"rows": R, "dim": dim, "n_ids": N, "host_rt_ms": round(host_rt * 1e3, 2)}
-    for name, fn in variants.items():
-        ms = honest_ms(fn, (ids,), perturb, derive, host_rt=host_rt)
+    for name, (fn, tables) in variants.items():
+        ms = honest_ms(
+            fn, tables + (ids,), perturb, derive, host_rt=host_rt
+        )
         out[f"{name}_ms"] = round(ms, 4)
         print(f"{name:<16} {ms:8.4f} ms / lookup of {N} rows")
     print(json.dumps(out))
