@@ -388,6 +388,51 @@ def main() -> None:
     print(f"{'segsum_rows_sorted':<20} {ms:9.3f} ms")
     out["segsum_rows_sorted_ms"] = round(ms, 3)
 
+    # --- PACKED-state fetch variants (the forward's real choice) ------------
+    # The flagship profile shows the [N, 2, 128] block gather from the
+    # packed [R, 2, 128] state at 17.1 ms (169 GB/s, fetching the slot
+    # rows only to discard them). Candidate: a 2-index lax.gather of
+    # (slot, 0) rows — half the bytes if it runs at the same rate.
+    packed0 = jnp.zeros((R_l, 2, dim), jnp.float32)
+
+    def take_blocks_fn(tab, slot):
+        return jnp.take(tab, slot, axis=0)
+
+    ms = honest_ms(
+        take_blocks_fn,
+        (packed0, slot0),
+        lambda a, t: (a[0], (a[1] + t.astype(jnp.int32)) % R_l),
+        lambda o: o.reshape(-1)[0].astype(jnp.float32) * 1e-9,
+        iters=4,
+    )
+    print(f"{'take_blocks_packed':<20} {ms:9.3f} ms")
+    out["take_blocks_packed_ms"] = round(ms, 3)
+
+    def take_rows2d_fn(tab, slot):
+        idx2 = jnp.stack(
+            [slot, jnp.zeros_like(slot)], axis=1
+        )  # [N, 2] -> (row, 0)
+        return jax.lax.gather(
+            tab,
+            idx2,
+            jax.lax.GatherDimensionNumbers(
+                offset_dims=(1,),
+                collapsed_slice_dims=(0, 1),
+                start_index_map=(0, 1),
+            ),
+            slice_sizes=(1, 1, dim),
+        )
+
+    ms = honest_ms(
+        take_rows2d_fn,
+        (packed0, slot0),
+        lambda a, t: (a[0], (a[1] + t.astype(jnp.int32)) % R_l),
+        lambda o: o.reshape(-1)[0].astype(jnp.float32) * 1e-9,
+        iters=4,
+    )
+    print(f"{'take_rows2d_packed':<20} {ms:9.3f} ms")
+    out["take_rows2d_packed_ms"] = round(ms, 3)
+
     print(json.dumps(out))
 
 
