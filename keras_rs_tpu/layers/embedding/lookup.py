@@ -94,6 +94,16 @@ def init_stack_state(
     }
 
 
+#: Forward table-row fetch from the packed [R, stride, dim] state:
+#: False = axis-0 block gather + row-0 slice (fetches the optimizer
+#: slot rows too — 2x the bytes); True = 2-index lax.gather of
+#: (slot, 0) rows. Flip after the chip A/B
+#: (tools/probe_preproc_ops.py take_rows2d_packed vs
+#: take_blocks_packed; the round-5 flagship profile showed the block
+#: gather at 169 GB/s = 17.1 ms/step, half of it discarded bytes).
+FWD_ROW_GATHER = False
+
+
 def _shard_map(f, mesh, in_specs, out_specs):
     # check_vma=False: the backward pass contains pallas_calls whose
     # out_shape carries no varying-mesh-axes annotation; the in/out
@@ -155,6 +165,33 @@ def stack_lookup(
     # is pre-folded into send_gains by all three preprocessing backends,
     # so this kernel performs no division in either direction.
 
+    def fetch_rows(table, flat_slots):
+        """Table rows (no slot rows) from whichever state layout."""
+        if packed:
+            if FWD_ROW_GATHER:
+                # 2-index gather of (slot, 0): fetches HALF the bytes
+                # of the block gather (which drags the optimizer-slot
+                # rows along only to slice them off). Gated on the
+                # measured A/B (tools/probe_preproc_ops.py
+                # take_rows2d_packed vs take_blocks_packed).
+                idx2 = jnp.stack(
+                    [flat_slots, jnp.zeros_like(flat_slots)], axis=1
+                )
+                return jax.lax.gather(
+                    table,
+                    idx2,
+                    jax.lax.GatherDimensionNumbers(
+                        offset_dims=(1,),
+                        collapsed_slice_dims=(0, 1),
+                        start_index_map=(0, 1),
+                    ),
+                    slice_sizes=(1, 1, dim),
+                )
+            return jnp.take(table, flat_slots, axis=0)[:, 0]
+        if bitpacked:
+            return bitpack.take_rows(table, flat_slots)[0]
+        return jnp.take(table, flat_slots, axis=0)
+
     def fwd_shard(table, s_slots, s_segs, s_gains):
         # Local blocks: table [rows_per_shard, dim]; s_* [1, D, C].
         s_slots, s_segs, s_gains = (
@@ -165,19 +202,7 @@ def stack_lookup(
         recv_gains = jax.lax.all_to_all(s_gains, axis, 0, 0, tiled=True)
 
         flat_slots = recv_slots.reshape(-1)
-        if packed:
-            # Axis-0 block gather on the 3-D state ([stride, dim] per
-            # index) runs at HBM byte speed — faster than a row gather
-            # even though it fetches the slot rows too (row gathers are
-            # descriptor-bound; see ops/row_ops.py).
-            rows = jnp.take(table, flat_slots, axis=0)[:, 0]
-        elif bitpacked:
-            # uint32 pair-word gather at the f32 descriptor rate + a
-            # vectorized halfword extract (ops/bitpack.py) — measured
-            # faster than gathering bf16 rows directly.
-            rows, _ = bitpack.take_rows(table, flat_slots)
-        else:
-            rows = jnp.take(table, flat_slots, axis=0)
+        rows = fetch_rows(table, flat_slots)
         contrib = rows.astype(jnp.float32) * recv_gains.reshape(-1, 1)
         # recv_segs are GLOBAL (src * S_l + seg), pre-offset by the
         # preprocessing backends — no per-step index arithmetic here.
@@ -232,13 +257,7 @@ def stack_lookup(
     def fwd_shard_construction(
         table, s_slots, s_segs, s_gains, f_slots, f_gains
     ):
-        flat_slots = f_slots[0]
-        if packed:
-            rows = jnp.take(table, flat_slots, axis=0)[:, 0]
-        elif bitpacked:
-            rows, _ = bitpack.take_rows(table, flat_slots)
-        else:
-            rows = jnp.take(table, flat_slots, axis=0)
+        rows = fetch_rows(table, f_slots[0])
         weighted = rows.astype(jnp.float32) * f_gains[0][:, None]
         Bl = stack.batch_size  # D == 1: local == global batch
         parts: list = [None] * stack.num_features
