@@ -624,3 +624,37 @@ def test_construction_fwd_gate_falls_back():
         _w.simplefilter("ignore")
         coo, _ = preprocess_stack(stack, inputs, None, backend="numpy")
     assert coo.fwd_slots is None and coo.fwd_gains is None
+
+
+def test_fwd_row_gather_flag_matches_block_gather(monkeypatch):
+    """FWD_ROW_GATHER=True (2-index row-only fetch) must produce the
+    same activations as the default block-gather+slice fetch."""
+    from keras_rs_tpu.layers.embedding import lookup as lookup_mod
+
+    t = TableConfig(
+        name="big", vocabulary_size=64, embedding_dim=128,
+        optimizer="adagrad", combiner="sum",
+        max_ids_per_partition=128, max_unique_ids_per_partition=128,
+    )
+    fcs = [FeatureConfig("f", t, (B, 3), (B, 128))]
+    mesh, stacks, states, raw = _setup_d1(fcs)
+    stack = stacks[0]
+    if not stack.packed_state:
+        pytest.skip("packed-state layout not selected for this stack")
+    rng = np.random.default_rng(3)
+    inputs = {"f": rng.integers(0, 64, size=(B, 3))}
+    weights = {"f": rng.random((B, 3)).astype(np.float32)}
+    coo, _ = preprocess_stack(stack, inputs, weights)
+    coo_dev = put_coo(mesh, coo)
+
+    def acts_of():
+        return np.asarray(
+            jax.jit(
+                lambda s, c: stack_lookup(stack, mesh, AXIS, s, c)
+            )(states[stack.name], coo_dev)
+        )
+
+    base = acts_of()
+    monkeypatch.setattr(lookup_mod, "FWD_ROW_GATHER", True)
+    flipped = acts_of()
+    np.testing.assert_array_equal(base, flipped)
