@@ -80,4 +80,8 @@ run mlperf_files 3600 python tools/mlperf_files_chip.py --steps 2000 --eval-ever
 # 8. Quality plateau (VERDICT r3 #7): 12k steps at batch 8192.
 run mlperf_plateau 3600 python examples/ml_perf/main.py --config smoke_test --num_steps 12000 --global_batch_size 8192 --eval_every 1000 --honest_timing
 
+# 9. Capacity modes under the round-5 lookup (construction fwd + sorted
+#    hint apply to the bf16 layouts too).
+run bench_bf16_rowwise 3000 env BENCH_SKIP_PROBE=1 BENCH_TABLE_DTYPE=bfloat16 BENCH_EMB_OPTIMIZER=rowwise_adagrad BENCH_DENSE_OUTPUT_DTYPE=bfloat16 BENCH_FLAGSHIP=0 python bench.py
+
 echo "=== chip_queue_r5 COMPLETE $(date +%T)" | tee -a "$OUT/queue.log"
