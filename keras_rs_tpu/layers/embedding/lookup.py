@@ -36,6 +36,9 @@ from keras_rs_tpu.layers.embedding.stacking import TableStack
 from keras_rs_tpu.ops import bitpack
 from keras_rs_tpu.ops.quant import cast_rows_for_storage
 from keras_rs_tpu.ops.row_ops import (
+    MAX_BLOCK_WIDTH,
+    apply_scatter_row_blocks,
+    pallas_supported,
     scatter_row_blocks_unique,
     scatter_rows_unique,
     scatter_rows_unique_multi,
@@ -102,6 +105,14 @@ def init_stack_state(
 #: take_blocks_packed; the round-5 flagship profile showed the block
 #: gather at 169 GB/s = 17.1 ms/step, half of it discarded bytes).
 FWD_ROW_GATHER = False
+
+#: Fused optimizer-apply + update-scatter kernel for the packed state
+#: (ops/row_ops.py apply_scatter_row_blocks): the update math runs on
+#: the VMEM tiles inside the scatter kernel, removing the updated
+#: blocks' HBM round-trip and the layout-change copies XLA inserts
+#: around the elementwise optimizer fusions. Auto-enabled whenever the
+#: packed Pallas scatter itself is (TPU, dim 128, f32).
+FUSED_RMW_AUTO = True
 
 
 def _shard_map(f, mesh, in_specs, out_specs):
@@ -344,19 +355,6 @@ def stack_lookup(
                 axis=0,
                 indices_are_sorted=True,
             ).astype(jnp.float32)
-            rows = blk[:, 0]
-            slot_rows = {
-                k: blk[:, 1 + i]
-                for i, k in enumerate(optimizer.slot_names)
-            }
-            new_rows, new_slot_rows = optimizer.apply(
-                rows, row_grads, slot_rows, step
-            )
-            new_blk = jnp.stack(
-                [new_rows]
-                + [new_slot_rows[k] for k in optimizer.slot_names],
-                axis=1,
-            )
             # Skip the DMA tail: uniques are a PREFIX of u_slots (all
             # three preprocessing backends pad with the sink slot at
             # the top), tail rows carry exactly-zero gradients, and
@@ -369,6 +367,51 @@ def stack_lookup(
             # proportionally.
             n_valid = jnp.sum(
                 (u_slots != stack.sink_slot).astype(jnp.int32)
+            )
+            use_fused = FUSED_RMW_AUTO and pallas_supported(
+                dim, table.dtype
+            ) and stride * dim <= MAX_BLOCK_WIDTH
+            if use_fused:
+                # Fused optimizer-apply + scatter: the update math runs
+                # IN the scatter kernel on the VMEM tiles, so the
+                # updated blocks never round-trip HBM and XLA's layout-
+                # change copies around the elementwise fusions vanish
+                # (~14 ms/step at flagship valence, round-5 profile).
+                names = optimizer.slot_names
+
+                def rmw_apply(blk_t, grads_t, scalars):
+                    rows_t = blk_t[:, 0]
+                    slot_t = {
+                        k: blk_t[:, 1 + i]
+                        for i, k in enumerate(names)
+                    }
+                    nr, ns = optimizer.apply(
+                        rows_t, grads_t, slot_t, scalars[0]
+                    )
+                    return [nr] + [ns[k] for k in names]
+
+                new_table = apply_scatter_row_blocks(
+                    table,
+                    u_slots,
+                    blk,
+                    row_grads,
+                    jnp.reshape(step.astype(jnp.float32), (1,)),
+                    rmw_apply,
+                    n_valid,
+                )
+                return new_table, {}
+            rows = blk[:, 0]
+            slot_rows = {
+                k: blk[:, 1 + i]
+                for i, k in enumerate(optimizer.slot_names)
+            }
+            new_rows, new_slot_rows = optimizer.apply(
+                rows, row_grads, slot_rows, step
+            )
+            new_blk = jnp.stack(
+                [new_rows]
+                + [new_slot_rows[k] for k in optimizer.slot_names],
+                axis=1,
             )
             new_table = scatter_row_blocks_unique(
                 table, u_slots, new_blk, n_valid

@@ -439,6 +439,157 @@ def scatter_row_blocks(
     )(nv, idx, blocks, packed)
 
 
+# --- fused optimizer-apply + block scatter -------------------------------
+#
+# The round-5 flagship profile showed the packed backward paying ~14 ms
+# of elementwise optimizer fusions PLUS two layout-change copies PLUS a
+# full HBM round-trip of the updated blocks (write new_blk, re-read it
+# as the scatter kernel's input). Folding the optimizer math INTO the
+# scatter kernel removes the round-trip and the relayouts: the kernel
+# reads the gathered (table,slot) blocks and the row gradients through
+# the normal VMEM pipeline, computes the updated blocks in VMEM, and
+# DMAs them straight into the table. The per-optimizer math is TRACED
+# into the kernel (plain jnp on the loaded tiles); traced scalars the
+# math needs (the step counter for Adam bias correction / lr schedules)
+# arrive through a small SMEM vector.
+
+
+def _make_rmw_kernel(apply_fn, k: int, nscalars: int):
+    def kernel(nvalid_ref, scalars_ref, idx_ref, blk_ref, grad_ref,
+               table_ref, out_ref, newblk_ref, sems):
+        del table_ref
+        ngroups = BLOCK_ROWS // _UNROLL
+        base = pl.program_id(0) * ngroups
+        live_groups = (
+            (nvalid_ref[0] + _UNROLL - 1) // _UNROLL - base
+        )
+        lg = jnp.clip(live_groups, 0, ngroups)
+
+        # Updated rows for the whole tile, written stream-by-stream
+        # into the VMEM scratch the DMAs read from.
+        scalars = [scalars_ref[i] for i in range(nscalars)]
+        new_parts = apply_fn(blk_ref[...], grad_ref[...], scalars)
+        assert len(new_parts) == k, (len(new_parts), k)
+        for s, part in enumerate(new_parts):
+            newblk_ref[:, s, :] = part
+
+        def dma(j):
+            return pltpu.make_async_copy(
+                newblk_ref.at[j],
+                out_ref.at[idx_ref[j]],
+                sems.at[j % _NSEM],
+            )
+
+        def put(g):
+            for u in range(_UNROLL):
+                dma(g * _UNROLL + u).start()
+
+        def wait(g):
+            for u in range(_UNROLL):
+                dma(g * _UNROLL + u).wait()
+
+        for g in range(_INFLIGHT_GROUPS):
+            @pl.when(g < lg)
+            def _(g=g):
+                put(g)
+
+        def body(g, _):
+            wait(g)
+
+            @pl.when(g + _INFLIGHT_GROUPS < lg)
+            def _():
+                put(g + _INFLIGHT_GROUPS)
+
+            return 0
+
+        jax.lax.fori_loop(0, lg, body, 0)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("apply_fn", "interpret"),
+    donate_argnums=(0,),
+)
+def apply_scatter_row_blocks(
+    packed: jax.Array,  # [R, k, dim] (HBM, donated -> updated in place)
+    idx: jax.Array,  # [N] int32 logical row ids, unique
+    blk: jax.Array,  # [N, k, dim] CURRENT (table row, slot rows) groups
+    grads: jax.Array,  # [N, dim] summed row gradients
+    scalars: jax.Array,  # [nscalars] f32 (step counter etc.)
+    apply_fn,  # ([T,k,dim], [T,dim], [scalars]) -> list of k [T,dim]
+    n_valid: jax.Array | None = None,
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """packed[idx[i]] = apply_fn(blk, grads)[i], one DMA per live i.
+
+    `apply_fn` must be a Python callable (hashable; passed statically)
+    of pure jnp math — it is traced INTO the kernel and runs on the
+    VMEM tiles.
+    """
+    N, k, dim = blk.shape
+    R = packed.shape[0]
+    if N == 0:
+        return packed
+    Np = _round_up(max(N, BLOCK_ROWS), BLOCK_ROWS)
+    if Np != N:
+        pad_idx = idx[N - 1]
+        idx = jnp.concatenate([idx, jnp.broadcast_to(pad_idx, (Np - N,))])
+        blk = jnp.concatenate(
+            [blk, jnp.broadcast_to(blk[N - 1], (Np - N, k, dim))]
+        )
+        grads = jnp.concatenate(
+            [grads, jnp.broadcast_to(grads[N - 1], (Np - N, dim))]
+        )
+    idx = idx.astype(jnp.int32)
+    if n_valid is None:
+        nv = jnp.full((1,), N, jnp.int32)
+    else:
+        nv = jnp.clip(
+            jnp.asarray(n_valid, jnp.int32), 0, N
+        ).reshape(1)
+    scalars = jnp.asarray(scalars, jnp.float32).reshape(-1)
+
+    kernel = _make_rmw_kernel(apply_fn, k, scalars.shape[0])
+    return pl.pallas_call(
+        kernel,
+        grid=(Np // BLOCK_ROWS,),
+        in_specs=[
+            pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (scalars.shape[0],),
+                lambda i: (0,),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (BLOCK_ROWS,), lambda i: (i,), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (BLOCK_ROWS, k, dim),
+                lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (BLOCK_ROWS, dim),
+                lambda i: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((R, k, dim), packed.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((BLOCK_ROWS, k, dim), packed.dtype),
+            pltpu.SemaphoreType.DMA((_NSEM,)),
+        ],
+        input_output_aliases={5: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(nv, scalars, idx, blk, grads, packed)
+
+
 def scatter_row_blocks_unique(
     packed: jax.Array,  # [R, k, dim]
     idx: jax.Array,
