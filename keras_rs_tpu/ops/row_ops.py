@@ -454,11 +454,19 @@ def scatter_row_blocks(
 # arrive through a small SMEM vector.
 
 
+#: Tile for the fused apply+scatter kernel: smaller than BLOCK_ROWS —
+#: the kernel holds the gathered blocks, the gradients, the updated-
+#: block scratch AND the traced optimizer math's temporaries in VMEM at
+#: once (a 2048-row tile exceeded the 16 MB scoped-vmem limit by 1.26 MB
+#: at flagship scale — /tmp/chip_r5/profile_flagship.log, first run).
+RMW_BLOCK_ROWS = 1024
+
+
 def _make_rmw_kernel(apply_fn, k: int, nscalars: int):
     def kernel(nvalid_ref, scalars_ref, idx_ref, blk_ref, grad_ref,
                table_ref, out_ref, newblk_ref, sems):
         del table_ref
-        ngroups = BLOCK_ROWS // _UNROLL
+        ngroups = RMW_BLOCK_ROWS // _UNROLL
         base = pl.program_id(0) * ngroups
         live_groups = (
             (nvalid_ref[0] + _UNROLL - 1) // _UNROLL - base
@@ -533,7 +541,8 @@ def apply_scatter_row_blocks(
     R = packed.shape[0]
     if N == 0:
         return packed
-    Np = _round_up(max(N, BLOCK_ROWS), BLOCK_ROWS)
+    T = RMW_BLOCK_ROWS
+    Np = _round_up(max(N, T), T)
     if Np != N:
         pad_idx = idx[N - 1]
         idx = jnp.concatenate([idx, jnp.broadcast_to(pad_idx, (Np - N,))])
@@ -555,7 +564,7 @@ def apply_scatter_row_blocks(
     kernel = _make_rmw_kernel(apply_fn, k, scalars.shape[0])
     return pl.pallas_call(
         kernel,
-        grid=(Np // BLOCK_ROWS,),
+        grid=(Np // T,),
         in_specs=[
             pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec(
@@ -564,15 +573,15 @@ def apply_scatter_row_blocks(
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(
-                (BLOCK_ROWS,), lambda i: (i,), memory_space=pltpu.SMEM
+                (T,), lambda i: (i,), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec(
-                (BLOCK_ROWS, k, dim),
+                (T, k, dim),
                 lambda i: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (BLOCK_ROWS, dim),
+                (T, dim),
                 lambda i: (i, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -581,7 +590,7 @@ def apply_scatter_row_blocks(
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((R, k, dim), packed.dtype),
         scratch_shapes=[
-            pltpu.VMEM((BLOCK_ROWS, k, dim), packed.dtype),
+            pltpu.VMEM((T, k, dim), packed.dtype),
             pltpu.SemaphoreType.DMA((_NSEM,)),
         ],
         input_output_aliases={5: 0},
