@@ -1000,10 +1000,10 @@ class FrozenEmbedding(Module):
         layer: DistributedEmbedding,
         quantize: str | None = None,
     ) -> None:
-        if quantize not in (None, "int8", "int8_packed"):
+        if quantize not in (None, "int8", "int8_packed", "int8_fused"):
             raise ValueError(
                 f"Unsupported `quantize`: {quantize!r} (use None, "
-                "'int8', or 'int8_packed')."
+                "'int8', 'int8_packed', or 'int8_fused')."
             )
         tables = {
             name: jnp.asarray(v)
@@ -1024,7 +1024,7 @@ class FrozenEmbedding(Module):
         # the same jax.Array, which costs no extra HBM); `tables` below
         # derives the export view so the pytree holds each buffer once
         # per feature, not once per feature plus once per table.
-        if quantize in ("int8", "int8_packed"):
+        if quantize in ("int8", "int8_packed", "int8_fused"):
             # Quantize each TABLE once; shared-table features reference
             # the same (q, scale) arrays. "int8_packed" selects the
             # group-packed word-typed gather layout (embed_reduce.py).
@@ -1034,7 +1034,39 @@ class FrozenEmbedding(Module):
                 name: quantize_rows_int8(v)
                 for name, v in tables.items()
             }
-            if quantize == "int8_packed":
+            if quantize == "int8_fused":
+                # Scale rides the data gather: 8 rows + 8 scales per
+                # group row (the round-5 probe showed the separate
+                # scale gather was the whole int8 latency penalty).
+                from keras_rs_tpu.ops.quant import pack_rows_int8_fused
+
+                # dim-128 tables only (one lane tile per byte plane);
+                # other widths keep the plain rows layout.
+                ftables = {
+                    name: (
+                        pack_rows_int8_fused(q, scale.reshape(-1)),
+                        q.shape[0],
+                    )
+                    for name, (q, scale) in qtables.items()
+                    if q.shape[1] == 128
+                }
+                self._reducers = {
+                    fc.name: (
+                        QuantizedEmbedReduce._from_fused(
+                            *ftables[self._feature_to_table[fc.name]],
+                            combiner=self._combiners[fc.name],
+                            name=fc.name,
+                        )
+                        if self._feature_to_table[fc.name] in ftables
+                        else QuantizedEmbedReduce(
+                            *qtables[self._feature_to_table[fc.name]],
+                            combiner=self._combiners[fc.name],
+                            name=fc.name,
+                        )
+                    )
+                    for fc in self._feature_leaves
+                }
+            elif quantize == "int8_packed":
                 from keras_rs_tpu.ops.quant import pack_rows_int8_groups
 
                 ptables = {

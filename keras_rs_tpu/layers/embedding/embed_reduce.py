@@ -207,6 +207,13 @@ class QuantizedEmbedReduce(EmbedReduce):
         sub-32-bit gather penalty BASELINE.md documents) + an integer
         in-register select + a 1-D scale gather. Bit-identical outputs
         to "rows" (tools/probe_int8_serving.py measures both on chip).
+      * "fused" (dim-128 only): 8 rows AND their 8 scales per int32
+        [R/8, 384] group row (ops/quant.py pack_rows_int8_fused) — the
+        scale rides the SAME gather descriptor as the data. The
+        round-5 chip probe showed the [R]-scale gather alone TRIPLES
+        int8 lookup cost (0.33 -> 0.93 ms at 40960 lookups; the int8
+        data gather matches f32) — this layout removes it entirely for
+        1.5 B/element (2.67x smaller than f32). Bit-identical outputs.
     """
 
     non_trainable_fields = ("q", "scale", "qp")
@@ -225,9 +232,15 @@ class QuantizedEmbedReduce(EmbedReduce):
                 f"Invalid `combiner`: '{combiner}', use one of "
                 f"{', '.join(SUPPORTED_COMBINERS)}."
             )
-        if layout not in ("rows", "packed"):
+        if layout not in ("rows", "packed", "fused"):
             raise ValueError(
-                f"Invalid `layout`: {layout!r} (use 'rows' or 'packed')."
+                f"Invalid `layout`: {layout!r} (use 'rows', 'packed' "
+                "or 'fused')."
+            )
+        if layout == "fused" and jnp.asarray(q).shape[1] != 128:
+            raise ValueError(
+                "layout='fused' requires dim == 128 (one lane tile per "
+                f"byte plane); got dim {jnp.asarray(q).shape[1]}."
             )
         q = jnp.asarray(q)
         scale = jnp.asarray(scale, jnp.float32)
@@ -240,7 +253,12 @@ class QuantizedEmbedReduce(EmbedReduce):
                 f"`scale` must be [vocab, 1], got {scale.shape}."
             )
         self.layout = layout
-        if layout == "packed":
+        if layout == "fused":
+            from keras_rs_tpu.ops.quant import pack_rows_int8_fused
+
+            self.qp = pack_rows_int8_fused(q, scale.reshape(-1))
+            self.scale = jnp.zeros((0,), jnp.float32)  # lives in qp
+        elif layout == "packed":
             from keras_rs_tpu.ops.quant import pack_rows_int8_groups
 
             self.qp = pack_rows_int8_groups(q)
@@ -281,6 +299,31 @@ class QuantizedEmbedReduce(EmbedReduce):
         return self
 
     @classmethod
+    def _from_fused(
+        cls,
+        qp: Tensor,
+        rows: int,
+        *,
+        combiner: str = "mean",
+        name: str | None = None,
+    ) -> "QuantizedEmbedReduce":
+        """Wraps an ALREADY fused-packed table (no repacking): shared-
+        table features must reference the same qp jax.Array."""
+        import jax.numpy as _jnp
+
+        self = cls.__new__(cls)
+        self.layout = "fused"
+        self.qp = qp
+        self.scale = _jnp.zeros((0,), _jnp.float32)
+        self.input_dim = int(rows)
+        self.output_dim = 128
+        self.combiner = combiner
+        self.embeddings_regularizer = None
+        self._regularizers = {}
+        self.name = name or "quantized_embed_reduce"
+        return self
+
+    @classmethod
     def from_table(
         cls,
         table: Tensor,
@@ -303,12 +346,21 @@ class QuantizedEmbedReduce(EmbedReduce):
             unpack_rows_int8_groups,
         )
 
+        if self.layout == "fused":
+            from keras_rs_tpu.ops.quant import unpack_rows_int8_fused
+
+            q, scale = unpack_rows_int8_fused(self.qp, self.input_dim)
+            return dequantize_rows(q, scale[:, None])
         if self.layout == "packed":
             q = unpack_rows_int8_groups(self.qp, self.input_dim)
             return dequantize_rows(q, self.scale[:, None])
         return dequantize_rows(self.q, self.scale)
 
     def _lookup(self, ids: Tensor) -> Tensor:
+        if self.layout == "fused":
+            from keras_rs_tpu.ops.quant import take_rows_int8_fused
+
+            return take_rows_int8_fused(self.qp, ids)
         if self.layout == "packed":
             from keras_rs_tpu.ops.quant import take_rows_int8_packed
 

@@ -124,6 +124,98 @@ def take_rows_int8_packed(
     return out.reshape(tuple(ids.shape) + (dim,))
 
 
+def pack_rows_int8_fused(q: Tensor, scale: Tensor) -> Tensor:
+    """int8 [R, dim] + f32 [R] scales -> int32 [ceil(R/8), 256 + 128]:
+    eight rows AND their eight scales per packed group row.
+
+    The round-5 chip probe (tools/probe_int8_serving.py,
+    BENCH_r05 harvest) showed the int8 serving penalty is ENTIRELY the
+    per-row scale gather: the int8 data gather runs at f32 speed
+    (0.350 vs 0.331 ms at 40960 lookups) but adding the [R]-array
+    scale gather triples it (0.93 ms) — a 1-D scalar gather costs MORE
+    per descriptor than a 512 B row gather. This layout makes the
+    scale ride the SAME descriptor as the data: group g packs rows
+    8g..8g+7 column-byte-interleaved in two 128-word planes
+    (plane p word d = rows 8g+4p..8g+4p+3 at column d, little-endian
+    bytes) followed by the 8 scales (f32 bitcast) and 120 pad words —
+    384 words = 3 exact lane tiles, 1.5 B/element amortized (2.67x
+    smaller than f32, 1.4x bigger than bare int8+scale), ONE gather
+    descriptor per lookup.
+
+    dim must be exactly 128 (one lane tile per plane); R pads to a
+    multiple of 8 with zero rows / scale 1.
+    """
+    q = jnp.asarray(q)
+    scale = jnp.asarray(scale, jnp.float32).reshape(-1)
+    if q.dtype != jnp.int8 or q.ndim != 2 or q.shape[1] != 128:
+        raise ValueError(
+            f"expected int8 [R, 128], got {q.dtype} {q.shape}"
+        )
+    if scale.shape[0] != q.shape[0]:
+        raise ValueError(
+            f"scale rows {scale.shape[0]} != table rows {q.shape[0]}"
+        )
+    R, dim = q.shape
+    pad = (-R) % 8
+    if pad:
+        q = jnp.pad(q, ((0, pad), (0, 0)))
+        scale = jnp.pad(scale, (0, pad), constant_values=1.0)
+    G = (R + pad) // 8
+    b = q.astype(jnp.int32) & 0xFF  # [8G, dim]
+    planes = []
+    for p in range(2):
+        base = 4 * p
+        planes.append(
+            b[base::8]
+            | (b[base + 1 :: 8] << 8)
+            | (b[base + 2 :: 8] << 16)
+            | (b[base + 3 :: 8] << 24)
+        )  # [G, dim] each
+    scales8 = jax.lax.bitcast_convert_type(
+        scale.reshape(G, 8), jnp.int32
+    )
+    padw = jnp.zeros((G, 384 - 2 * dim - 8), jnp.int32)
+    return jnp.concatenate(planes + [scales8, padw], axis=1)
+
+
+def unpack_rows_int8_fused(
+    packed: Tensor, rows: int
+) -> tuple[Tensor, Tensor]:
+    """Inverse of `pack_rows_int8_fused` (drops padding rows)."""
+    G = packed.shape[0]
+    w = jnp.asarray(packed, jnp.int32)
+    qs = []
+    for p in range(2):
+        plane = w[:, p * 128 : (p + 1) * 128]  # [G, 128]
+        for k in range(4):
+            qs.append(((plane << (24 - 8 * k)) >> 24).astype(jnp.int8))
+    # qs order: rows 8g+0..3 (plane 0), 8g+4..7 (plane 1).
+    q = jnp.stack(qs, axis=1).reshape(G * 8, 128)
+    scale = jax.lax.bitcast_convert_type(
+        w[:, 256:264], jnp.float32
+    ).reshape(G * 8)
+    return q[:rows], scale[:rows]
+
+
+def take_rows_int8_fused(packed: Tensor, ids: Tensor) -> Tensor:
+    """Dequantized f32 rows from the fused layout — ONE gather
+    descriptor per id (data and scale arrive together)."""
+    flat = ids.reshape(-1)
+    w = jnp.take(packed, flat // 8, axis=0)  # [N, 384] int32
+    k = (flat % 8).astype(jnp.int32)
+    plane = jnp.where(
+        (k < 4)[:, None], w[:, 0:128], w[:, 128:256]
+    )  # [N, 128]
+    shift = (24 - 8 * (k % 4))[:, None]
+    rows = (plane << shift) >> 24  # sign-extended bytes
+    scales8 = jax.lax.bitcast_convert_type(
+        w[:, 256:264], jnp.float32
+    )  # [N, 8]
+    scale = jnp.take_along_axis(scales8, k[:, None], axis=1)
+    out = rows.astype(jnp.float32) * scale
+    return out.reshape(tuple(ids.shape) + (128,))
+
+
 def cast_rows_for_storage(
     x: Tensor, dtype: jnp.dtype, key: jax.Array | None
 ) -> Tensor:

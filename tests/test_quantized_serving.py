@@ -280,3 +280,99 @@ def test_freeze_int8_packed_matches_int8():
         )
     rp = frozenp._reducers
     assert rp["f1"].qp is rp["f2"].qp, "shared table was re-packed"
+
+
+# --- fused int8+scale layout (round 5) -----------------------------------
+
+
+def test_fused_pack_roundtrip():
+    from keras_rs_tpu.ops.quant import (
+        pack_rows_int8_fused,
+        unpack_rows_int8_fused,
+    )
+
+    rng = np.random.default_rng(11)
+    R = 37  # exercises the pad-to-8 path
+    q = rng.integers(-127, 128, size=(R, 128), dtype=np.int8)
+    scale = (rng.random(R, dtype=np.float32) + 0.5) / 127.0
+    packed = pack_rows_int8_fused(jnp.asarray(q), jnp.asarray(scale))
+    assert packed.shape == ((R + 7) // 8, 384)
+    q2, s2 = unpack_rows_int8_fused(packed, R)
+    np.testing.assert_array_equal(np.asarray(q2), q)
+    np.testing.assert_array_equal(np.asarray(s2), scale)
+
+
+def test_fused_take_bit_identical_to_rows():
+    from keras_rs_tpu.ops.quant import (
+        pack_rows_int8_fused,
+        take_rows_int8_fused,
+    )
+
+    rng = np.random.default_rng(12)
+    R, N = 1000, 333
+    q = rng.integers(-127, 128, size=(R, 128), dtype=np.int8)
+    scale = (rng.random(R, dtype=np.float32) + 0.5) / 127.0
+    ids = rng.integers(0, R, size=(N,)).astype(np.int32)
+    want = q[ids].astype(np.float32) * scale[ids][:, None]
+    packed = pack_rows_int8_fused(jnp.asarray(q), jnp.asarray(scale))
+    got = np.asarray(take_rows_int8_fused(packed, jnp.asarray(ids)))
+    np.testing.assert_array_equal(got, want)
+    # 2-D id shapes keep their leading shape.
+    got2 = np.asarray(
+        take_rows_int8_fused(packed, jnp.asarray(ids.reshape(3, 111)))
+    )
+    assert got2.shape == (3, 111, 128)
+    np.testing.assert_array_equal(got2.reshape(N, 128), want)
+
+
+def test_freeze_int8_fused_matches_int8():
+    import jax
+
+    from keras_rs_tpu.layers.embedding.config import (
+        FeatureConfig,
+        TableConfig,
+    )
+    from keras_rs_tpu.layers.embedding.distributed_embedding import (
+        DistributedEmbedding,
+    )
+
+    table_a = TableConfig(
+        name="a", vocabulary_size=50, embedding_dim=128, combiner="mean"
+    )
+    table_b = TableConfig(
+        name="b", vocabulary_size=30, embedding_dim=16, combiner="sum"
+    )
+    feats = {
+        "f1": FeatureConfig(
+            name="f1", table=table_a,
+            input_shape=(8, 3), output_shape=(8, 128),
+        ),
+        "f2": FeatureConfig(
+            name="f2", table=table_a,
+            input_shape=(8,), output_shape=(8, 128),
+        ),
+        # dim != 128: must fall back to the rows layout inside the
+        # fused freeze.
+        "f3": FeatureConfig(
+            name="f3", table=table_b,
+            input_shape=(8, 2), output_shape=(8, 16),
+        ),
+    }
+    layer = DistributedEmbedding(feats, key=jax.random.key(0))
+    rng = np.random.default_rng(5)
+    inputs = {
+        "f1": rng.integers(0, 50, size=(8, 3)),
+        "f2": rng.integers(0, 50, size=(8,)),
+        "f3": rng.integers(0, 30, size=(8, 2)),
+    }
+    out8 = layer.freeze(quantize="int8")(inputs)
+    frozenf = layer.freeze(quantize="int8_fused")
+    outf = frozenf(inputs)
+    for k in out8:
+        np.testing.assert_array_equal(
+            np.asarray(outf[k]), np.asarray(out8[k]), err_msg=k
+        )
+    rf = frozenf._reducers
+    assert rf["f1"].layout == "fused"
+    assert rf["f1"].qp is rf["f2"].qp, "shared table was re-packed"
+    assert rf["f3"].layout == "rows"

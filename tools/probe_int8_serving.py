@@ -72,7 +72,9 @@ def honest_ms(fn, args, perturb, derive, iters=50, host_rt=0.0):
 # kernels so the probe cannot drift from what QuantizedEmbedReduce
 # serves (review finding r4).
 from keras_rs_tpu.ops.quant import (  # noqa: E402
+    pack_rows_int8_fused,
     pack_rows_int8_groups,
+    take_rows_int8_fused,
     take_rows_int8_packed,
 )
 
@@ -104,6 +106,7 @@ def main() -> None:
     scale2d = jnp.asarray(scale_h[:, None])
     scale1d = jnp.asarray(scale_h)
     packed = pack_rows_int8_groups(q)
+    fused = pack_rows_int8_fused(q, jnp.asarray(scale_h))
     f32_table = jnp.asarray(
         q_h.astype(np.float32) * scale_h[:, None]
     )
@@ -119,8 +122,10 @@ def main() -> None:
         * jnp.take(scale1d, ids)[:, None]
     )
     got_packed = np.asarray(take_packed(packed, scale1d, ids, dim))
+    got_fused = np.asarray(take_rows_int8_fused(fused, ids))
     assert np.array_equal(want, got_1d), "scale1d mismatch"
     assert np.array_equal(want, got_packed), "packed mismatch"
+    assert np.array_equal(want, got_fused), "fused mismatch"
     print(f"bit-exactness: PASS (N={N}, R={R}, dim={dim})")
 
     def perturb(a, tick):
@@ -166,6 +171,10 @@ def main() -> None:
         ),
         # Shift-based byte extract without the scale gather (matches the
         # shipped layout of quant.py pack_rows_int8_groups).
+        "fused": (
+            lambda fz, i: (take_rows_int8_fused(fz, i),),
+            (fused,),
+        ),
         "packed_noscale": (
             lambda pk, i: (
                 (

@@ -189,7 +189,20 @@ def bench_dlrm_inference(small=False):
         p_bytes = _unique_bytes(frozen_p)
         print(f"[dlrm-infer-int8-packed] B={B}: {ms_p:.3f} ms/batch "
               f"({B / ms_p * 1e3:,.0f} ex/s, tables {p_bytes/1e6:.0f} MB)")
-        del model, frozen, frozen_p
+        del frozen_p
+
+        # FUSED int8+scale (round-5): the probe showed the separate
+        # per-row scale gather was the entire int8 latency penalty;
+        # this layout ships 8 rows + their 8 scales per descriptor
+        # (1.5 B/element).
+        frozen_f = model.embedding_layer.freeze(quantize="int8_fused")
+        ms_f = honest_ms(
+            forward, (model, frozen_f, batch), perturb, derive, iters=30
+        )
+        f_bytes = _unique_bytes(frozen_f)
+        print(f"[dlrm-infer-int8-fused] B={B}: {ms_f:.3f} ms/batch "
+              f"({B / ms_f * 1e3:,.0f} ex/s, tables {f_bytes/1e6:.0f} MB)")
+        del model, frozen, frozen_f
 
 
 def bench_retrieval_service(small=False):
