@@ -87,11 +87,13 @@ def build(
         embedding_optimizer=os.environ.get(
             "BENCH_EMB_OPTIMIZER", "adagrad"
         ),
-        # BENCH_DENSE_OUTPUT_DTYPE=bfloat16 keeps dense activations
-        # resident in bf16 between matmul fusions (A/B'd on chip by
-        # tools/probe_dense_mfu.py; params/accumulation stay f32).
-        dense_output_dtype=os.environ.get("BENCH_DENSE_OUTPUT_DTYPE")
-        or None,
+        # bf16-resident dense activations are the DLRMConfig default
+        # since round 5 (1.9x dense-stack A/B + on-chip AUC parity);
+        # BENCH_DENSE_OUTPUT_DTYPE=float32 restores the f32-resident
+        # stack for A/Bs.
+        dense_output_dtype=os.environ.get(
+            "BENCH_DENSE_OUTPUT_DTYPE", "bfloat16"
+        ),
         # BENCH_COMM_DTYPE=bfloat16 compresses the embedding exchange
         # collectives (halves ICI bytes; single-chip effect is nil —
         # this knob exists for multi-chip runs).

@@ -90,7 +90,10 @@ class ExperimentConfig:
     embedding_comm_dtype: str | None = None
     #: "bfloat16" keeps dense-stack activations resident in bf16
     #: between matmul fusions (params/accumulation stay f32).
-    dense_output_dtype: str | None = None
+    # bf16-resident dense activations (DEFAULT since round 5: 1.9x
+    # dense-stack speedup, on-chip AUC-parity proof 0.7684 == 0.7684 at
+    # 2000 steps). Pass "float32" for bit-level f32-resident numerics.
+    dense_output_dtype: str | None = "bfloat16"
 
 
 def full_criteo(name="full_criteo", **overrides) -> ExperimentConfig:
