@@ -41,6 +41,11 @@ def make_model(seed=0, devices=None, max_ids=64):
         learning_rate=0.01,
         global_batch_size=B,
         table_placement="sharded",
+        # f32-resident dense: these tests assert scan-vs-loop and
+        # cross-mesh CONSISTENCY at tight tolerances; the bf16-resident
+        # default (round 5) legitimately drifts a few ULP across
+        # fusion-boundary changes, which is not what they test.
+        dense_output_dtype="float32",
     )
     mesh = mesh_lib.create_mesh(devices=devices)
     model = DLRMDCNv2(cfg, key=jax.random.key(seed), mesh=mesh)
