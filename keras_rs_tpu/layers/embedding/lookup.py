@@ -198,10 +198,17 @@ def stack_lookup(
                     ),
                     slice_sizes=(1, 1, dim),
                 )
-            return jnp.take(table, flat_slots, axis=0)[:, 0]
+            # mode="clip": slots are in-bounds by construction (sink
+            # = R-1); the default "fill" mode adds an out-of-bounds
+            # SELECT pass over the gathered bytes — 5.4 ms/step on a
+            # [1.4M, 2, 128] gather at flagship valence (round-5
+            # profile, broadcast_select fusions).
+            return jnp.take(
+                table, flat_slots, axis=0, mode="clip"
+            )[:, 0]
         if bitpacked:
-            return bitpack.take_rows(table, flat_slots)[0]
-        return jnp.take(table, flat_slots, axis=0)
+            return bitpack.take_rows(table, flat_slots, mode="clip")[0]
+        return jnp.take(table, flat_slots, axis=0, mode="clip")
 
     def fwd_shard(table, s_slots, s_segs, s_gains):
         # Local blocks: table [rows_per_shard, dim]; s_* [1, D, C].
@@ -318,7 +325,9 @@ def stack_lookup(
         g_all = jax.lax.all_gather(g_seg, axis)  # [D, S_l, dim]
         # recv_segs are global flat indices already (see fwd).
         ge = jnp.take(
-            g_all.reshape(D * S_l, dim), recv_segs.reshape(-1), axis=0
+            g_all.reshape(D * S_l, dim), recv_segs.reshape(-1), axis=0,
+            mode="clip",  # segs are globalized in-bounds; skip the
+            #               fill-select pass over [N, dim]
         ).astype(jnp.float32) * recv_gains.reshape(-1, 1)
         # Padding and unique-capacity-overflow entries carry the drop
         # sentinel U (one past the valid range): segment_sum discards
@@ -354,6 +363,8 @@ def stack_lookup(
                 u_slots,
                 axis=0,
                 indices_are_sorted=True,
+                mode="clip",  # u_slots in-bounds (sink-padded); the
+                #               fill-select cost 5.4 ms/step here
             ).astype(jnp.float32)
             # Skip the DMA tail: uniques are a PREFIX of u_slots (all
             # three preprocessing backends pad with the sink slot at
@@ -421,15 +432,19 @@ def stack_lookup(
             # One uint32 pair-word gather serves BOTH the current-row
             # fetch and (reused below) the partner halves of the merge.
             rows_bf16, pair_words = bitpack.take_rows(
-                table, u_slots, indices_are_sorted=True
+                table, u_slots, indices_are_sorted=True, mode="clip"
             )
             rows = rows_bf16.astype(jnp.float32)
         else:
             rows = jnp.take(
-                table, u_slots, axis=0, indices_are_sorted=True
+                table, u_slots, axis=0, indices_are_sorted=True,
+                mode="clip",
             ).astype(jnp.float32)
         slot_rows = {
-            k: jnp.take(v, u_slots, axis=0, indices_are_sorted=True)
+            k: jnp.take(
+                v, u_slots, axis=0, indices_are_sorted=True,
+                mode="clip",
+            )
             for k, v in slots.items()
         }
         new_rows, new_slot_rows = optimizer.apply(

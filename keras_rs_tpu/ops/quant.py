@@ -117,10 +117,14 @@ def take_rows_int8_packed(
     """
     dim = packed.shape[1]
     flat = ids.reshape(-1)
-    words = jnp.take(packed, flat // 4, axis=0)  # [N, dim] int32
+    words = jnp.take(
+        packed, flat // 4, axis=0, mode="clip"
+    )  # [N, dim] int32
     shift = (24 - 8 * (flat % 4)).astype(jnp.int32)[:, None]
     rows = (words << shift) >> 24  # [N, dim] sign-extended bytes
-    out = rows.astype(jnp.float32) * jnp.take(scale, flat)[:, None]
+    out = rows.astype(jnp.float32) * jnp.take(
+        scale, flat, mode="clip"
+    )[:, None]
     return out.reshape(tuple(ids.shape) + (dim,))
 
 
@@ -201,7 +205,7 @@ def take_rows_int8_fused(packed: Tensor, ids: Tensor) -> Tensor:
     """Dequantized f32 rows from the fused layout — ONE gather
     descriptor per id (data and scale arrive together)."""
     flat = ids.reshape(-1)
-    w = jnp.take(packed, flat // 8, axis=0)  # [N, 384] int32
+    w = jnp.take(packed, flat // 8, axis=0, mode="clip")  # [N, 384]
     k = (flat % 8).astype(jnp.int32)
     plane = jnp.where(
         (k < 4)[:, None], w[:, 0:128], w[:, 128:256]
