@@ -215,8 +215,16 @@ def take_rows_int8_fused(packed: Tensor, ids: Tensor) -> Tensor:
     scales8 = jax.lax.bitcast_convert_type(
         w[:, 256:264], jnp.float32
     )  # [N, 8]
-    scale = jnp.take_along_axis(scales8, k[:, None], axis=1)
-    out = rows.astype(jnp.float32) * scale
+    # Vectorized lane select, NOT take_along_axis: the latter lowers to
+    # N one-element gathers — the exact scalar-gather pathology this
+    # layout exists to avoid (first chip measurement of the fused path
+    # cost 1.05 ms vs 0.36 noscale because of it). An 8-lane masked sum
+    # is pure VPU work.
+    sel = k[:, None] == jnp.arange(8, dtype=jnp.int32)[None, :]
+    scale = jnp.sum(
+        jnp.where(sel, scales8, jnp.float32(0.0)), axis=1
+    )  # [N]
+    out = rows.astype(jnp.float32) * scale[:, None]
     return out.reshape(tuple(ids.shape) + (128,))
 
 
