@@ -462,24 +462,40 @@ def scatter_row_blocks(
 RMW_BLOCK_ROWS = 1024
 
 
+#: Chunks the fused kernel's per-tile optimizer compute so it OVERLAPS
+#: the previous chunk's in-flight DMAs (the serial compute-then-drain
+#: form measured ~6.5 ms/step of exposed VPU time at flagship scale:
+#: 33.7 ms fused vs the 27.2 ms pure-DMA scatter). 1 = serial fallback.
+RMW_OVERLAP_CHUNKS = 4
+
+
 def _make_rmw_kernel(apply_fn, k: int, nscalars: int):
+    nchunks = RMW_OVERLAP_CHUNKS
+    assert RMW_BLOCK_ROWS % (nchunks * _UNROLL) == 0
+
     def kernel(nvalid_ref, scalars_ref, idx_ref, blk_ref, grad_ref,
                table_ref, out_ref, newblk_ref, sems):
         del table_ref
         ngroups = RMW_BLOCK_ROWS // _UNROLL
+        gpc = ngroups // nchunks  # groups per compute chunk
+        rows_pc = RMW_BLOCK_ROWS // nchunks
         base = pl.program_id(0) * ngroups
         live_groups = (
             (nvalid_ref[0] + _UNROLL - 1) // _UNROLL - base
         )
         lg = jnp.clip(live_groups, 0, ngroups)
-
-        # Updated rows for the whole tile, written stream-by-stream
-        # into the VMEM scratch the DMAs read from.
         scalars = [scalars_ref[i] for i in range(nscalars)]
-        new_parts = apply_fn(blk_ref[...], grad_ref[...], scalars)
-        assert len(new_parts) == k, (len(new_parts), k)
-        for s, part in enumerate(new_parts):
-            newblk_ref[:, s, :] = part
+
+        def compute_chunk(c):
+            lo = c * rows_pc
+            new_parts = apply_fn(
+                blk_ref[lo : lo + rows_pc],
+                grad_ref[lo : lo + rows_pc],
+                scalars,
+            )
+            assert len(new_parts) == k, (len(new_parts), k)
+            for s, part in enumerate(new_parts):
+                newblk_ref[lo : lo + rows_pc, s, :] = part
 
         def dma(j):
             return pltpu.make_async_copy(
@@ -496,21 +512,41 @@ def _make_rmw_kernel(apply_fn, k: int, nscalars: int):
             for u in range(_UNROLL):
                 dma(g * _UNROLL + u).wait()
 
-        for g in range(_INFLIGHT_GROUPS):
-            @pl.when(g < lg)
-            def _(g=g):
-                put(g)
-
-        def body(g, _):
-            wait(g)
-
-            @pl.when(g + _INFLIGHT_GROUPS < lg)
+        # Software pipeline: compute chunk c, then walk its groups with
+        # the rolling in-flight window (wait g - _INFLIGHT_GROUPS, put
+        # g) — so chunk c+1's VPU compute runs while chunk c's DMAs are
+        # still in flight. Groups past lg are skipped (dedup sink
+        # tail); every wait pairs with an issued put because both sides
+        # predicate on the same index.
+        def walk(g, _):
+            @pl.when(
+                jnp.logical_and(
+                    g >= _INFLIGHT_GROUPS, g - _INFLIGHT_GROUPS < lg
+                )
+            )
             def _():
-                put(g + _INFLIGHT_GROUPS)
+                wait(g - _INFLIGHT_GROUPS)
+
+            @pl.when(g < lg)
+            def _():
+                put(g)
 
             return 0
 
-        jax.lax.fori_loop(0, lg, body, 0)
+        for c in range(nchunks):
+            compute_chunk(c)
+            jax.lax.fori_loop(c * gpc, (c + 1) * gpc, walk, 0)
+
+        def drain(g, _):
+            @pl.when(g < lg)
+            def _():
+                wait(g)
+
+            return 0
+
+        jax.lax.fori_loop(
+            ngroups - _INFLIGHT_GROUPS, ngroups, drain, 0
+        )
 
     return kernel
 
