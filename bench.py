@@ -319,7 +319,7 @@ def main() -> None:
     if os.environ.get("BENCH_SKIP_PROBE", "0") != "1" and not _chip_alive():
         # Emit an honest failure line rather than hanging until the
         # driver's timeout kills us with no record at all. Last good
-        # on-chip numbers live in BENCH_r02.json / BASELINE.md.
+        # on-chip numbers live in BENCH_r05_chip_harvest.json / BASELINE.md.
         print(
             json.dumps(
                 {
@@ -330,7 +330,8 @@ def main() -> None:
                     "error": (
                         "TPU tunnel wedged: devices enumerate but a tiny"
                         " matmul probe did not complete in time; see"
-                        " BENCH_r02.json for the last verified numbers"
+                        " BENCH_r05_chip_harvest.json for the last"
+                        " verified numbers"
                     ),
                 }
             )
