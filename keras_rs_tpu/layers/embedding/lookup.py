@@ -276,15 +276,25 @@ def stack_lookup(
         table, s_slots, s_segs, s_gains, f_slots, f_gains
     ):
         rows = fetch_rows(table, f_slots[0])
-        weighted = rows.astype(jnp.float32) * f_gains[0][:, None]
+        gains_c = f_gains[0]
         Bl = stack.batch_size  # D == 1: local == global batch
         parts: list = [None] * stack.num_features
         off = 0
+        # Per-feature multiply+reduce on SLICES (not one materialized
+        # [N, dim] weighted array first): lets XLA fuse each feature's
+        # slice -> multiply -> reduce into one pass over the gather
+        # output instead of a full-array multiply plus per-feature
+        # slice COPIES (~3.5 ms/step of reshape/slice fusions in the
+        # round-5 pass-3 profile).
         for fspec in stack.features:
             n = fspec.batch_size * fspec.valence
-            parts[fspec.feature_index] = weighted[
-                off : off + n
-            ].reshape(Bl, fspec.valence, dim).sum(axis=1)
+            L = fspec.valence
+            parts[fspec.feature_index] = (
+                rows[off : off + n]
+                .astype(jnp.float32)
+                .reshape(Bl, L, dim)
+                * gains_c[off : off + n].reshape(Bl, L, 1)
+            ).sum(axis=1)
             off += n
         acts = jnp.stack(parts, axis=1).reshape(S_l, dim)
         # Residuals: at D == 1 the received buffers ARE the send
