@@ -223,6 +223,15 @@ def _chip_alive() -> bool:
 
         if jax.config.jax_platforms:
             env["JAX_PLATFORMS"] = jax.config.jax_platforms
+            if "tpu" not in jax.config.jax_platforms:
+                # CPU-forced probe (tests): the sandbox sitecustomize
+                # registers the tunneled-TPU backend at INTERPRETER
+                # START whenever PALLAS_AXON_POOL_IPS is set — env
+                # JAX_PLATFORMS can't stop it, and a wedged tunnel
+                # then hangs even a pure-CPU child at import (observed:
+                # the guard test failing whenever the tunnel was down).
+                # Dropping the trigger var keeps the child tunnel-free.
+                env.pop("PALLAS_AXON_POOL_IPS", None)
     except Exception:  # noqa: BLE001 — fall back to the inherited env
         pass
     code = (
